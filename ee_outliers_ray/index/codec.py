@@ -1,0 +1,179 @@
+"""Posting-list compression: frame-of-reference delta + bit-packing
+(PForDelta-family) in fixed blocks with block-max metadata.
+
+This layer existed *inside* Elasticsearch/Lucene in the reference (segment
+postings; invisible in /root/reference code — see SURVEY.md §2.4 ST5); here
+it is explicit.  All encode/decode paths are numpy-vectorized — no Python
+per-posting loops.
+
+Layout of one encoded posting run for a term (see ``encode_postings``):
+
+    doc_ids : sorted int64  -> per block: first_doc (varint-free, stored in
+              metadata), deltas (d[i]-d[i-1], first delta vs first_doc)
+              bit-packed at the block's minimal width
+    tfs     : int32         -> per block: (tf-1) bit-packed at minimal width
+
+Block metadata (kept as plain arrays, stored as parquet list columns — the
+metadata is tiny next to payloads and parquet compresses it):
+
+    block_len      : number of postings in the block (<= BLOCK_SIZE; only
+                     the last block of a run is short; after run
+                     concatenation interior short blocks may occur and the
+                     decoder handles them)
+    block_last_doc : last doc_id (skip pointer for WAND)
+    block_first_doc: first doc_id (frame of reference)
+    block_max_tf   : max tf in block   } together these give a valid
+    block_min_dl   : min doc length    } upper bound on the BM25 term
+                     weight without needing global avgdl at build time:
+                     w <= idf * (k1+1)*max_tf / (max_tf + k1*(1-b+b*min_dl/avgdl))
+
+Payload bytes per block: 1 byte width_doc, 1 byte width_tf, then
+ceil(n*wd/8) doc-delta bytes, then ceil(n*wt/8) tf bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_POW2 = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def _bit_width(max_val: int) -> int:
+    return max(1, int(max_val).bit_length())
+
+
+def _pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Pack uint64 values (< 2**width) into a little-endian bitstream."""
+    n = len(values)
+    bits = ((values[:, None] >> np.arange(width, dtype=np.uint64)) & 1).astype(np.uint8)
+    flat = bits.reshape(-1)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, dtype=np.uint8)])
+    return np.packbits(flat.reshape(-1, 8)[:, ::-1], axis=1).tobytes()
+
+
+def _unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of _pack_bits: buf is a uint8 array; returns uint64[n]."""
+    bits = np.unpackbits(buf[:, None], axis=1)[:, ::-1].reshape(-1)
+    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+    return bits @ _POW2[:width]
+
+
+@dataclass
+class EncodedRun:
+    """One compressed posting run (doc-sorted) for a single term."""
+
+    payload: bytes
+    block_len: np.ndarray        # int32[nblocks]
+    block_offset: np.ndarray     # int64[nblocks] byte offset into payload
+    block_first_doc: np.ndarray  # int64[nblocks]
+    block_last_doc: np.ndarray   # int64[nblocks]
+    block_max_tf: np.ndarray     # int32[nblocks]
+    block_min_dl: np.ndarray     # int32[nblocks]
+
+    @property
+    def n_postings(self) -> int:
+        return int(self.block_len.sum())
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    block_size: int = BLOCK_SIZE) -> EncodedRun:
+    """Encode one term's postings (doc-sorted, unique doc_ids)."""
+    n = len(doc_ids)
+    assert n > 0
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+
+    nblocks = (n + block_size - 1) // block_size
+    starts = np.arange(nblocks, dtype=np.int64) * block_size
+    ends = np.minimum(starts + block_size, n)
+
+    block_len = (ends - starts).astype(np.int32)
+    block_first = doc_ids[starts]
+    block_last = doc_ids[ends - 1]
+    # per-block max tf / min dl without Python loops
+    block_max_tf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    block_min_dl = np.minimum.reduceat(dls, starts).astype(np.int32)
+
+    chunks: list[bytes] = []
+    offsets = np.zeros(nblocks, dtype=np.int64)
+    pos = 0
+    for bi in range(nblocks):
+        s, e = starts[bi], ends[bi]
+        d = doc_ids[s:e]
+        deltas = np.empty(e - s, dtype=np.uint64)
+        deltas[0] = 0
+        np.subtract(d[1:], d[:-1], out=deltas[1:], casting="unsafe")
+        t = (tfs[s:e] - 1).astype(np.uint64)
+        wd = _bit_width(int(deltas.max()))
+        wt = _bit_width(int(t.max()))
+        body = bytes([wd, wt]) + _pack_bits(deltas, wd) + _pack_bits(t, wt)
+        offsets[bi] = pos
+        pos += len(body)
+        chunks.append(body)
+    return EncodedRun(
+        payload=b"".join(chunks),
+        block_len=block_len,
+        block_offset=offsets,
+        block_first_doc=block_first,
+        block_last_doc=block_last,
+        block_max_tf=block_max_tf,
+        block_min_dl=block_min_dl,
+    )
+
+
+def decode_block(payload: bytes | memoryview, offset: int, n: int,
+                 first_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block -> (doc_ids int64[n], tfs int64[n])."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    wd = int(buf[offset])
+    wt = int(buf[offset + 1])
+    nd = (n * wd + 7) // 8
+    nt = (n * wt + 7) // 8
+    p = offset + 2
+    deltas = _unpack_bits(buf[p: p + nd], n, wd).astype(np.int64)
+    tfs = _unpack_bits(buf[p + nd: p + nd + nt], n, wt).astype(np.int64) + 1
+    doc_ids = np.cumsum(deltas) + first_doc
+    return doc_ids, tfs
+
+
+def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole run -> (doc_ids, tfs)."""
+    parts_d, parts_t = [], []
+    for bi in range(len(run.block_len)):
+        d, t = decode_block(run.payload, int(run.block_offset[bi]),
+                            int(run.block_len[bi]), int(run.block_first_doc[bi]))
+        parts_d.append(d)
+        parts_t.append(t)
+    return np.concatenate(parts_d), np.concatenate(parts_t)
+
+
+def concat_runs(runs: list[EncodedRun]) -> EncodedRun:
+    """Concatenate doc-range-ordered runs of the same term into one run.
+
+    Pure metadata + byte concatenation — blocks are self-contained, so no
+    re-decode is needed.  This is the log-structured tiered merge step: the
+    level-1 shuffle produces per-(term-bucket, doc-range) runs; level 2
+    concatenates each term's runs in doc-range order (doc_ids stay sorted
+    because ranges are contiguous and disjoint).
+    """
+    if len(runs) == 1:
+        return runs[0]
+    payload = b"".join(r.payload for r in runs)
+    sizes = np.array([len(r.payload) for r in runs], dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    return EncodedRun(
+        payload=payload,
+        block_len=np.concatenate([r.block_len for r in runs]),
+        block_offset=np.concatenate([r.block_offset + base[i] for i, r in enumerate(runs)]),
+        block_first_doc=np.concatenate([r.block_first_doc for r in runs]),
+        block_last_doc=np.concatenate([r.block_last_doc for r in runs]),
+        block_max_tf=np.concatenate([r.block_max_tf for r in runs]),
+        block_min_dl=np.concatenate([r.block_min_dl for r in runs]),
+    )

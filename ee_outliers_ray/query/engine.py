@@ -1,0 +1,141 @@
+"""BM25 top-k query engines over the segment index.
+
+Two paths, both following the determinism contract in ``bm25.py`` (float64
+accumulation in ascending term order; ties score-desc/doc_id-asc), so they
+return **identical** (doc_id, score) lists:
+
+- ``taat_topk``: exact term-at-a-time vectorized scoring (numpy dense
+  accumulator) — the obviously-correct baseline and the fast path at
+  sandbox scale.
+- ``BlockMaxWand``: document-at-a-time block-max WAND — skips blocks whose
+  score upper bounds cannot enter the top-k heap; the 10^12-doc scale path
+  (accumulator-free, postings decoded block-wise on demand).
+
+Replaces the reference's delegation of ``query_string`` scoring to
+Elasticsearch/Lucene (/root/reference/app/helpers/es.py:238-250).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..tokenizer import tokenize
+from .bm25 import block_upper_bound, idf, term_weight, topk_from_scores
+from .codec_cursor import TermCursor
+from .reader import IndexReader
+
+
+def _query_terms(query: str) -> list[str]:
+    """Unique query terms in ascending order (the fixed summation order)."""
+    return sorted(set(tokenize(query)))
+
+
+def taat_topk(reader: IndexReader, query: str, k: int = 10
+              ) -> list[tuple[int, float]]:
+    terms = _query_terms(query)
+    acc = np.zeros(len(reader.doclens), dtype=np.float64)
+    touched = np.zeros(len(reader.doclens), dtype=bool)
+    for t in terms:
+        run = reader.postings(t)
+        if run is None:
+            continue
+        from ..index.codec import decode_run
+
+        doc_ids, tfs = decode_run(run)
+        w = term_weight(tfs, reader.doclens[doc_ids],
+                        idf(reader.n_docs, run.n_postings), reader.avgdl)
+        acc[doc_ids] += w
+        touched[doc_ids] = True
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return []
+    d, s = topk_from_scores(cand, acc[cand], k)
+    return list(zip(d.tolist(), s.tolist()))
+
+
+class BlockMaxWand:
+    """Block-max WAND evaluator bound to one IndexReader."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        r = self.reader
+        terms = _query_terms(query)
+        cursors: list[TermCursor] = []
+        for t in terms:
+            run = r.postings(t)
+            if run is None:
+                continue
+            idf_val = idf(r.n_docs, run.n_postings)
+            ub = float(block_upper_bound(idf_val, run.block_max_tf,
+                                         run.block_min_dl, r.avgdl).max())
+            cursors.append(TermCursor(run, idf_val, ub))
+        if not cursors:
+            return []
+        # heap of (score, -doc_id): min element = weakest (lowest score,
+        # then largest doc_id) — matches the (score desc, doc_id asc) order
+        heap: list[tuple[float, int]] = []
+        theta = -np.inf
+
+        while True:
+            live = [c for c in cursors if not c.exhausted]
+            if not live:
+                break
+            live.sort(key=lambda c: c.doc())
+            # pivot: smallest prefix whose summed upper bounds can beat theta
+            ub_sum = 0.0
+            pivot_idx = -1
+            for i, c in enumerate(live):
+                ub_sum += c.ub
+                if len(heap) < k or ub_sum > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break  # no prefix can beat theta -> done
+            pivot_doc = live[pivot_idx].doc()
+            # extend the pivot over cursors tied at pivot_doc so their
+            # bounds count and the skip target stays safe (BMW candidate
+            # selection, Ding & Suel)
+            while pivot_idx + 1 < len(live) and live[pivot_idx + 1].doc() == pivot_doc:
+                pivot_idx += 1
+            if live[0].doc() == pivot_doc:
+                # block-max check: refine with per-block bounds at pivot_doc
+                bub = 0.0
+                for c in live[: pivot_idx + 1]:
+                    bub += c.block_ub(pivot_doc, r.avgdl)
+                if len(heap) >= k and bub <= theta:
+                    # safe skip target: smallest current-block end among the
+                    # pivot prefix, clamped below the next cursor's doc —
+                    # documents in (pivot_doc, target) can only contain
+                    # prefix terms, whose block bounds cannot beat theta
+                    boundary = min(c.block_end(pivot_doc) for c in live[: pivot_idx + 1])
+                    target = boundary + 1
+                    if pivot_idx + 1 < len(live):
+                        target = min(target, live[pivot_idx + 1].doc())
+                    for c in live[: pivot_idx + 1]:
+                        c.next_geq(target)
+                    continue
+                # full evaluation, ascending-term order (= cursors order)
+                score = 0.0
+                for c in cursors:
+                    if not c.exhausted and c.doc() == pivot_doc:
+                        score += c.score(r.doclens[pivot_doc], r.avgdl)
+                for c in live:
+                    if c.doc() == pivot_doc:
+                        c.next_geq(pivot_doc + 1)
+                if len(heap) < k:
+                    heapq.heappush(heap, (score, -pivot_doc))
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif (score, -pivot_doc) > heap[0]:
+                    heapq.heapreplace(heap, (score, -pivot_doc))
+                    theta = heap[0][0]
+            else:
+                # advance all pre-pivot cursors to the pivot document
+                for c in live[:pivot_idx]:
+                    c.next_geq(pivot_doc)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-d, s) for s, d in out]

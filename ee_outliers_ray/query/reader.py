@@ -1,0 +1,62 @@
+"""Index reader: segment/doclens/stats access for the query engines.
+
+One ``IndexReader`` instance per query actor — loaded once in the actor's
+``__init__`` (stats + doclens), per-term posting runs fetched lazily from
+the term's segment bucket with parquet predicate pushdown (segments are
+term-sorted within a bucket, so row-group stats prune the read) and cached.
+
+Scale path: doclens as doc-partitioned shards per query shard; here (dense
+doc_ids, sandbox scale) a single int32 numpy array.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..index.build import _row_to_run
+from ..index.codec import EncodedRun
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs: int = self.stats["n_docs"]
+        self.avgdl: float = float(self.stats["avgdl"])
+        self.num_buckets: int = self.stats["num_buckets"]
+        self.segments_dir = os.path.join(index_dir, "segments")
+        dl_tbl = pq.read_table(os.path.join(index_dir, "doclens"),
+                               columns=["doc_id", "dl"])
+        doc_id = dl_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        dl = dl_tbl["dl"].to_numpy(zero_copy_only=False)
+        self.doclens = np.zeros(int(doc_id.max()) + 1 if len(doc_id) else 0,
+                                dtype=np.int32)
+        self.doclens[doc_id] = dl
+        self._cache: dict[str, EncodedRun | None] = {}
+
+    def postings(self, term: str) -> EncodedRun | None:
+        """Fetch (and cache) the merged posting run for one term."""
+        if term in self._cache:
+            return self._cache[term]
+        bucket = zlib.crc32(term.encode()) % self.num_buckets
+        paths = glob.glob(os.path.join(self.segments_dir, f"bucket={bucket}", "*.parquet"))
+        run = None
+        for p in paths:
+            t = pq.read_table(p, filters=[("term", "=", term)])
+            if t.num_rows:
+                row = t.to_pylist()[0]
+                run = _row_to_run(row)
+                break
+        self._cache[term] = run
+        return run
+
+    def df(self, term: str) -> int:
+        run = self.postings(term)
+        return run.n_postings if run is not None else 0

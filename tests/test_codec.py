@@ -1,0 +1,86 @@
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ee_outliers_ray.index.codec import (
+    EncodedRun,
+    concat_runs,
+    decode_block,
+    decode_run,
+    encode_postings,
+)
+
+
+def _mk(n, rng, max_doc=10**9):
+    doc_ids = np.sort(rng.choice(max_doc, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 500, size=n).astype(np.int64)
+    dls = rng.integers(1, 5000, size=n).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def test_roundtrip_small():
+    doc_ids = np.array([0, 1, 5, 1000, 10**12], dtype=np.int64)
+    tfs = np.array([1, 2, 3, 1, 7], dtype=np.int64)
+    dls = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    run = encode_postings(doc_ids, tfs, dls)
+    d, t = decode_run(run)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+
+
+def test_roundtrip_multi_block():
+    rng = np.random.default_rng(7)
+    doc_ids, tfs, dls = _mk(1000, rng)
+    run = encode_postings(doc_ids, tfs, dls, block_size=128)
+    assert len(run.block_len) == 8
+    d, t = decode_run(run)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    # block metadata
+    np.testing.assert_array_equal(run.block_last_doc[-1:], doc_ids[-1:])
+    assert run.block_max_tf[0] == tfs[:128].max()
+    assert run.block_min_dl[0] == dls[:128].min()
+
+
+def test_single_posting():
+    run = encode_postings(np.array([42]), np.array([1]), np.array([7]))
+    d, t = decode_run(run)
+    assert list(d) == [42] and list(t) == [1]
+
+
+def test_decode_single_block():
+    rng = np.random.default_rng(3)
+    doc_ids, tfs, dls = _mk(300, rng)
+    run = encode_postings(doc_ids, tfs, dls, block_size=128)
+    d, t = decode_block(run.payload, int(run.block_offset[1]),
+                        int(run.block_len[1]), int(run.block_first_doc[1]))
+    np.testing.assert_array_equal(d, doc_ids[128:256])
+    np.testing.assert_array_equal(t, tfs[128:256])
+
+
+def test_concat_runs_equals_single_encode():
+    rng = np.random.default_rng(11)
+    doc_ids, tfs, dls = _mk(700, rng)
+    # split into doc-range-contiguous runs
+    cut1, cut2 = 250, 600
+    runs = [
+        encode_postings(doc_ids[:cut1], tfs[:cut1], dls[:cut1]),
+        encode_postings(doc_ids[cut1:cut2], tfs[cut1:cut2], dls[cut1:cut2]),
+        encode_postings(doc_ids[cut2:], tfs[cut2:], dls[cut2:]),
+    ]
+    merged = concat_runs(runs)
+    d, t = decode_run(merged)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    assert merged.n_postings == 700
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(1, 400), st.integers(0, 2**31))
+def test_roundtrip_property(n, seed):
+    rng = np.random.default_rng(seed)
+    doc_ids, tfs, dls = _mk(n, rng)
+    run = encode_postings(doc_ids, tfs, dls)
+    d, t = decode_run(run)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)

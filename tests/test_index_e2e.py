@@ -1,0 +1,154 @@
+"""End-to-end index build + query tests against an independent
+slow-but-obviously-correct Python oracle (no shared code with the engine
+beyond the tokenizer contract)."""
+
+import math
+import os
+import re
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ee_outliers_ray.corpus import generate_pages
+from ee_outliers_ray.index.build import build_index
+from ee_outliers_ray.query.engine import BlockMaxWand, taat_topk
+from ee_outliers_ray.query.reader import IndexReader
+
+K1, B = 1.2, 0.75
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    generate_pages(d, total_rows=600, num_files=3, seed=42)
+    return d
+
+
+@pytest.fixture(scope="module")
+def index_dir(corpus_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    # small doc_range_size to force multi-run tiered merges
+    build_index(corpus_dir, d, num_buckets=8, doc_range_size=128,
+                batch_size=200)
+    return d
+
+
+def _oracle_corpus(corpus_dir):
+    """doc_id -> token list, extracted from html with plain string ops."""
+    docs = {}
+    for f in sorted(os.listdir(corpus_dir)):
+        t = pq.read_table(os.path.join(corpus_dir, f))
+        for doc_id, html in zip(t["doc_id"].to_pylist(), t["html"].to_pylist()):
+            s = html.decode()
+            text = s.split("<p>", 1)[1].split("</p>", 1)[0]
+            docs[doc_id] = TOKEN_RE.findall(text.lower())
+    return docs
+
+
+def _oracle_topk(docs, query, k=10):
+    terms = sorted(set(TOKEN_RE.findall(query.lower())))
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    scores = {}
+    for t in terms:
+        df = sum(1 for v in docs.values() if t in v)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, toks in docs.items():
+            tf = toks.count(t)
+            if tf:
+                dl = len(toks)
+                w = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + w
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+QUERIES = [
+    "the",                      # hottest stopword
+    "data web",                 # two hot terms
+    "w0042",                    # rare term
+    "zzz_not_present",          # absent term
+    "the data search engine",   # mixed
+    "w0100 w0200 w0300",        # several mid-frequency terms
+    "The, DATA!",               # needs analysis-chain normalization
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_docs(corpus_dir):
+    return _oracle_corpus(corpus_dir)
+
+
+@pytest.fixture(scope="module")
+def reader(index_dir):
+    return IndexReader(index_dir)
+
+
+def test_stats(reader, oracle_docs):
+    assert reader.n_docs == len(oracle_docs)
+    assert reader.avgdl == pytest.approx(
+        sum(len(v) for v in oracle_docs.values()) / len(oracle_docs))
+    for d, toks in list(oracle_docs.items())[:50]:
+        assert reader.doclens[d] == len(toks)
+
+
+def test_df(reader, oracle_docs):
+    for t in ["the", "data", "w0042"]:
+        df = sum(1 for v in oracle_docs.values() if t in v)
+        assert reader.df(t) == df, t
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_taat_matches_oracle(reader, oracle_docs, query):
+    got = taat_topk(reader, query, k=10)
+    want = _oracle_topk(oracle_docs, query, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12), (gd, query)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_matches_taat_exactly(reader, query):
+    taat = taat_topk(reader, query, k=10)
+    wand = BlockMaxWand(reader).topk(query, k=10)
+    assert wand == taat  # rank- AND score-identical (bit-for-bit)
+
+
+def test_wand_k1(reader):
+    assert BlockMaxWand(reader).topk("data search", k=1) == \
+        taat_topk(reader, "data search", k=1)
+
+
+def test_resume_from_runs(corpus_dir, index_dir, reader):
+    """Deleting segments + manifest must rebuild from runs (no re-tokenize)
+    and produce identical query results."""
+    d2 = index_dir
+    shutil.rmtree(os.path.join(d2, "segments"))
+    os.remove(os.path.join(d2, "segments.manifest.json"))
+    os.remove(os.path.join(d2, "stats.json"))
+    before = taat_topk(reader, "the data", k=5)
+    build_index(corpus_dir, d2, num_buckets=8, doc_range_size=128,
+                batch_size=200)
+    r2 = IndexReader(d2)
+    assert taat_topk(r2, "the data", k=5) == before
+
+
+def test_extracted_text_byte_identical(corpus_dir):
+    """HtmlExtract recovers the generator's text byte-for-byte per url."""
+    import ray.data
+
+    from ee_outliers_ray.corpus import _gen_file_table
+    from ee_outliers_ray.extract import HtmlExtract
+
+    ds = ray.data.read_parquet(corpus_dir).map_batches(
+        HtmlExtract, batch_format="pyarrow", batch_size=200, concurrency=2)
+    got = {r["url"]: r["text"] for r in ds.take_all()}
+    src = _gen_file_table(0, 200, 42)
+    for url, html in zip(src["url"].to_pylist(), src["html"].to_pylist()):
+        want = html.decode().split("<p>", 1)[1].split("</p>", 1)[0]
+        assert got[url] == want
