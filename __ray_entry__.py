@@ -1,44 +1,271 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 top-k) on
+sf0.001; ``queries()`` maps operator names (SURVEY.md §2 inventory +
+training-data ops) to Ray-Data pipelines over a testdata dir;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible entry, column-name-aligned with the Ray result.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module — nothing
+here (or in ee_outliers_ray) calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ee_outliers_ray import pipelines as P  # noqa: E402
+
+TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+K1, B = 1.2, 0.75
+BM25_QUERY_TERMS = ("batch", "merge", "spark")   # ascending (fixed sum order)
+SEARCH_TERMS = ("merge", "spark")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 top-k through the block-max WAND engine."""
+    return P.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- index / full-text (SURVEY §2 Q1, A11, O8, M13) ---
+        "token_counts": P.token_counts,
+        "term_df": P.term_df,
+        "term_cf": P.term_cf,
+        "top_terms": P.top_terms,
+        "corpus_stats": P.corpus_stats,
+        "bm25_topk": P.bm25_topk,
+        "search_and": P.search_and,
+        # --- relational / query-language (Q2-Q6, S4/A8, joins, sorts) ---
+        "pricing_summary": P.pricing_summary,
+        "segment_revenue": P.segment_revenue,
+        "time_window_counts": P.time_window_counts,
+        "exists_counts": P.exists_counts,
+        "multi_key_counts": P.multi_key_counts,
+        "first_occurrence": P.first_occurrence,
+        # --- analyzer models (A3-A8, §2.8) ---
+        "terms_across_counts": P.terms_across_counts,
+        "terms_within_rare": P.terms_within_rare,
+        "terms_within_median": P.terms_within_median,
+        "metrics_length_outliers": P.metrics_length_outliers,
+        "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
+        "sudden_appearance": P.sudden_appearance_events,
+        # --- dedup ---
+        "dedup_exact": P.dedup_exact,
+        "dedup_minhash": P.dedup_minhash,
+        "dedup_simhash": P.dedup_simhash,
+        # --- similarity search ---
+        "ann_cosine": P.ann_cosine,
+        "ann_ivf": P.ann_ivf,
+        "embedding_dups": P.embedding_dups,
+        # --- text analysis ---
+        "quality_scores": P.quality,
+        "langid": P.langid_documents,
+        "bpe_token_counts": P.bpe_counts,
+        "fingerprints": P.fingerprints,
+        # --- multimodal plumbing (stubbed decode) ---
+        "media_features": P.media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _bm25_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({terms_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / c.avgdl)) ) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+def _sudden_appearance_sql() -> str:
+    import datetime as dt
+
+    from ee_outliers_ray.models.sudden_appearance import window_positions
+
+    wins = window_positions(dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 29),
+                            dt.timedelta(days=7), dt.timedelta(days=1))
+    values = ", ".join(
+        f"(TIMESTAMP '{s}', TIMESTAMP '{e}')" for s, e in wins)
+    return f"""
+WITH wins(win_start, win_end) AS (VALUES {values}),
+fo AS (
+  SELECT w.win_start, w.win_end, e.event_type, e.user_id, min(e.ts) AS first_ts
+  FROM events e JOIN wins w ON e.ts >= w.win_start AND e.ts <= w.win_end
+  GROUP BY 1, 2, 3, 4
+)
+SELECT f.event_type AS aggregator, f.user_id::VARCHAR AS target,
+       f.win_start, f.win_end, f.first_ts,
+       (SELECT min(e2.event_id) FROM events e2
+         WHERE e2.event_type = f.event_type AND e2.user_id = f.user_id
+           AND e2.ts = f.first_ts) AS event_id
+FROM fo f
+WHERE f.first_ts > f.win_end - INTERVAL 1 DAY
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    search_preds = " AND ".join(
+        f"list_contains({TOK}, '{t}')" for t in SEARCH_TERMS)
+    stop_list = "['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was']"
+    return {
+        "token_counts":
+            f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
+        "term_df": f"""
+            SELECT term, count(*) AS df FROM (
+              SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents)
+            GROUP BY term""",
+        "term_cf": f"""
+            SELECT term, count(*) AS cf FROM (
+              SELECT unnest({TOK}) AS term FROM documents)
+            GROUP BY term""",
+        "top_terms": f"""
+            SELECT term, count(*) AS cf FROM (
+              SELECT unnest({TOK}) AS term FROM documents)
+            GROUP BY term ORDER BY cf DESC, term LIMIT 20""",
+        "corpus_stats": f"""
+            WITH tok AS (SELECT unnest({TOK}) AS term FROM documents)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM tok) AS total_tokens,
+                   round((SELECT count(*) FROM tok)::DOUBLE
+                         / (SELECT count(*) FROM documents), 6) AS avgdl""",
+        "bm25_topk": _bm25_sql(),
+        "search_and":
+            f"SELECT doc_id FROM documents WHERE {search_preds}",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "segment_revenue": """
+            SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
+        "time_window_counts": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+            GROUP BY event_type""",
+        "exists_counts": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE value IS NOT NULL AND props IS NOT NULL
+            GROUP BY event_type""",
+        "multi_key_counts": """
+            SELECT user_id::VARCHAR || ' - ' || event_type AS agg_key,
+                   count(*) AS n
+            FROM events GROUP BY 1""",
+        "first_occurrence": """
+            SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n
+            FROM events GROUP BY user_id, event_type""",
+        "terms_across_counts": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type""",
+        "terms_within_rare": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT e.event_id, e.event_type AS aggregator,
+                   e.user_id::VARCHAR AS target, c.n::DOUBLE AS term_count
+            FROM events e JOIN c USING (event_type, user_id)
+            WHERE c.n < 3""",
+        "terms_within_median": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 f AS (SELECT event_type, median(n) * (50 / 100.0) AS frontier
+                       FROM c GROUP BY 1)
+            SELECT e.event_id, e.event_type AS aggregator,
+                   e.user_id::VARCHAR AS target, c.n::DOUBLE AS term_count
+            FROM events e JOIN c USING (event_type, user_id)
+                          JOIN f USING (event_type)
+            WHERE c.n < f.frontier""",
+        "metrics_length_outliers": """
+            WITH m AS (SELECT event_id, event_type,
+                              length(props)::DOUBLE AS metric
+                       FROM events
+                       WHERE props IS NOT NULL AND event_type IS NOT NULL),
+                 s AS (SELECT event_type,
+                              avg(metric) + stddev_pop(metric) AS frontier
+                       FROM m GROUP BY event_type)
+            SELECT m.event_id, m.event_type AS aggregator, m.metric
+            FROM m JOIN s USING (event_type)
+            WHERE m.metric > s.frontier""",
+        "metrics_value_mad_outliers": """
+            WITH m AS (SELECT event_id, event_type, value::DOUBLE AS metric
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL),
+                 s AS (SELECT event_type,
+                              median(metric) + 1.0 * mad(metric) AS frontier
+                       FROM m GROUP BY event_type)
+            SELECT m.event_id, m.event_type AS aggregator, m.metric
+            FROM m JOIN s USING (event_type)
+            WHERE m.metric > s.frontier""",
+        "sudden_appearance": _sudden_appearance_sql(),
+        "dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text""",
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]) DESC, e.vec_id
+            LIMIT 10""",
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {TOK} AS toks FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                           / len(toks), 6) ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN len(toks) > 0 THEN
+                     round(len(list_filter(toks,
+                       x -> list_contains({stop_list}, x)))::DOUBLE
+                           / len(toks), 6) ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN len(text) > 0 THEN
+                     round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                           / len(text), 6) ELSE 0.0 END AS alpha_ratio
+            FROM t""",
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]')) AS bpe_tokens
+            FROM documents""",
+        # no oracle (non-SQL-expressible / approximate / stubbed):
+        # dedup_minhash, dedup_simhash, ann_ivf, embedding_dups, langid,
+        # fingerprints, media_features
+    }

@@ -1,0 +1,189 @@
+"""terms analyzer as a Ray Data plan (reference
+/root/reference/app/analyzers/terms.py).
+
+Complete-data semantics: the shuffle sees every row of a group, which
+equals the reference's final/complete-batch behavior (SURVEY §7.5.4); the
+reference's carryover bookkeeping (terms.py:174-177) disappears.
+
+- ``within_aggregator`` (terms.py:312-415): one ``groupby(aggregator)``
+  shuffle; per group a whitelist fixpoint loop (terms.py:326-367):
+  count targets -> frontier -> flag -> drop whitelisted flagged docs ->
+  recompute; outliers from an iteration that removed anything are
+  discarded and recomputed.  ``min_target_buckets`` groups yield nothing
+  (carried forever in the reference, terms.py:340-343).
+- ``across_aggregators`` (terms.py:185-310): distinct-target count per
+  aggregator via two cascaded (small) aggregates, GLOBAL frontier over
+  the per-aggregator counts, batch-global whitelist fixpoint
+  (terms.py:219-227: any removal discards all outliers and recomputes),
+  then a broadcast semi-join flags the rows of outlier aggregators.
+- ``coeff_of_variation`` (terms.py:383-395): group verdict — cv compared
+  against the sensitivity; all docs of a triggering group are flagged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .frontier import get_decision_frontier, is_outlier
+from .whitelist import Whitelist
+
+SEP = " - "
+
+
+def add_key_column(ds, cols: str | list[str], out_name: str):
+    """Concat multi-field key with ' - ' (the reference's painless-script
+    group key, /root/reference/app/helpers/es.py:796-803), vectorized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def _concat(batch: pa.Table) -> pa.Table:
+        arrs = [pc.cast(batch[c], pa.string()) for c in cols]
+        if len(arrs) == 1:
+            key = arrs[0]
+        else:
+            key = pc.binary_join_element_wise(*arrs, SEP)
+        return batch.append_column(out_name, key)
+
+    return ds.map_batches(_concat, batch_format="pyarrow")
+
+
+def _drop_null_keys(ds, names: list[str]):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        mask = None
+        for n in names:
+            m = pc.is_valid(batch[n])
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _within_group_fn(whitelist: Whitelist, trigger_method: str,
+                     trigger_sensitivity: float, trigger_on: str,
+                     min_target_buckets: int | None):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        agg_value = g["aggregator"].iloc[0]
+        alive = g.reset_index(drop=True)
+        out = _empty_like(g)
+        while True:
+            counts = alive["target"].value_counts()
+            if min_target_buckets is not None and len(counts) < min_target_buckets:
+                return out
+            values = counts.to_numpy(dtype=np.float64)
+            frontier = get_decision_frontier(trigger_method, values,
+                                             trigger_sensitivity, trigger_on)
+            per_doc_count = alive["target"].map(counts).to_numpy(dtype=np.float64)
+            if trigger_method == "coeff_of_variation":
+                flagged = np.full(len(alive), bool(
+                    is_outlier(frontier, trigger_sensitivity, trigger_on)))
+            else:
+                flagged = np.asarray(is_outlier(per_doc_count, frontier, trigger_on))
+            if not flagged.any():
+                return out
+            if not whitelist.empty:
+                wl_mask = np.array([
+                    flagged[i] and whitelist.matches(
+                        {agg_value, alive["target"].iloc[i]})
+                    for i in range(len(alive))
+                ])
+                if wl_mask.any():
+                    alive = alive[~wl_mask].reset_index(drop=True)
+                    if len(alive) == 0:
+                        return out
+                    continue  # recompute; this iteration's outliers discarded
+            res = alive[flagged].copy()
+            res["term_count"] = per_doc_count[flagged]
+            res["decision_frontier"] = float(frontier)
+            return res
+
+    return fn
+
+
+def _empty_like(g: pd.DataFrame) -> pd.DataFrame:
+    e = g.iloc[0:0].copy()
+    e["term_count"] = pd.Series(dtype=np.float64)
+    e["decision_frontier"] = pd.Series(dtype=np.float64)
+    return e
+
+
+def terms_model(ds, aggregator, target, *, target_count_method: str,
+                trigger_method: str, trigger_sensitivity: float,
+                trigger_on: str, min_target_buckets: int | None = None,
+                whitelist: Whitelist | None = None):
+    """Returns a Dataset of outlier rows: original columns +
+    (aggregator, target, term_count, decision_frontier)."""
+    whitelist = whitelist or Whitelist()
+    ds = add_key_column(ds, aggregator, "aggregator")
+    ds = add_key_column(ds, target, "target")
+    ds = _drop_null_keys(ds, ["aggregator", "target"])
+
+    if target_count_method == "within_aggregator":
+        return ds.groupby("aggregator").map_groups(
+            _within_group_fn(whitelist, trigger_method, trigger_sensitivity,
+                             trigger_on, min_target_buckets),
+            batch_format="pandas")
+
+    if target_count_method != "across_aggregators":
+        raise ValueError(f"unknown target_count_method {target_count_method}")
+
+    # across_aggregators: distinct-count per aggregator = two cascaded
+    # aggregates (pair count, then count of pairs); the per-aggregator
+    # table is small (#aggregators rows) -> global frontier on the driver.
+    from ray.data.aggregate import Count
+
+    pair_counts = ds.groupby(["aggregator", "target"]).aggregate(
+        Count(alias_name="pair_n"))
+    pairs_pd = pair_counts.to_pandas()  # (aggregator, target) distinct pairs
+
+    removed_pairs: set[tuple[str, str]] = set()
+    while True:
+        live = pairs_pd[~pairs_pd.set_index(["aggregator", "target"]).index
+                        .isin(removed_pairs)] if removed_pairs else pairs_pd
+        per_agg = live.groupby("aggregator").size()
+        if len(per_agg) == 0:
+            flagged_aggs = {}
+            frontier = float("nan")
+            break
+        values = per_agg.to_numpy(dtype=np.float64)
+        frontier = get_decision_frontier(trigger_method, values,
+                                         trigger_sensitivity, trigger_on)
+        flags = is_outlier(values, frontier, trigger_on)
+        flagged_aggs = {a: float(c) for a, c, f in
+                        zip(per_agg.index, values, flags) if f}
+        if whitelist.empty or not flagged_aggs:
+            break
+        newly_removed = {
+            (a, t) for a, t in live[live["aggregator"].isin(flagged_aggs)]
+            [["aggregator", "target"]].itertuples(index=False)
+            if whitelist.matches({a, t})
+        } - removed_pairs
+        if not newly_removed:
+            break
+        removed_pairs |= newly_removed
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flagged = flagged_aggs
+    removed = removed_pairs
+    final_frontier = frontier
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        aggs = batch["aggregator"].to_pylist()
+        tgts = batch["target"].to_pylist()
+        keep = [a in flagged and (a, t) not in removed
+                for a, t in zip(aggs, tgts)]
+        sub = batch.filter(pa.array(keep))
+        cnt = [flagged[a] for a in sub["aggregator"].to_pylist()]
+        sub = sub.append_column("term_count", pa.array(cnt, type=pa.float64()))
+        return sub.append_column(
+            "decision_frontier",
+            pa.array([final_frontier] * sub.num_rows, type=pa.float64()))
+
+    return ds.map_batches(_flag, batch_format="pyarrow")

@@ -1,0 +1,484 @@
+"""Named pipelines over the driver's testdata tables — the concrete
+``queries()`` implementations of ``__ray_entry__.py``.
+
+Each function takes ``sf_dir`` (a directory of parquet tables) and returns
+a Ray Dataset / pandas DataFrame / pyarrow Table.  All are Ray-Data-native
+plans; the DuckDB equivalents live in ``__ray_entry__.oracle_sql`` and are
+kept column-name-aligned.
+
+Float policy: aggregate / score columns that cross the DuckDB hash-compare
+are rounded (ROUND_* constants) on BOTH sides, so sub-ulp associativity
+differences between engines cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions import duck_round
+from .index.build import build_index
+from .tokenizer import token_counts_column, tokenize_column
+
+ROUND_SCORE = 6
+ROUND_MONEY = 2
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+# --------------------------------------------------------------------------
+# text / index pipelines over `documents`
+# --------------------------------------------------------------------------
+
+def token_counts(sf_dir: str):
+    """Per-doc token count (doc length) — SURVEY A11 / M13."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        n = token_counts_column(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": pa.array(n)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _term_doc_pairs(b: pa.Table) -> pa.Table:
+    """(term, doc_id, tf) rows for a batch — vectorized SPIMI emit."""
+    toks = tokenize_column(b["text"])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    doc_ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "tf": pa.array([], type=pa.int64())})
+    enc = flat.dictionary_encode()
+    term_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_terms = len(enc.dictionary)
+    doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64),
+                        offsets[1:] - offsets[:-1])
+    keys = doc_idx * n_terms + term_ids
+    uniq, tf = np.unique(keys, return_counts=True)
+    return pa.table({
+        "term": enc.dictionary.take(pa.array(uniq % n_terms)),
+        "doc_id": pa.array(doc_ids[uniq // n_terms]),
+        "tf": pa.array(tf.astype(np.int64)),
+    })
+
+
+def term_df(sf_dir: str):
+    """term -> document frequency (partial pre-aggregation per batch, then
+    one small groupby — the wordcount pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(_term_doc_pairs, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("term").aggregate([("doc_id", "count")])
+        return t.rename_columns(["term", "pdf"])
+
+    partials = pairs.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(Sum("pdf", alias_name="df"))
+
+
+def term_cf(sf_dir: str):
+    """term -> collection frequency (total tf)."""
+    from ray.data.aggregate import Sum
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ds.map_batches(_term_doc_pairs, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("term").aggregate([("tf", "sum")])
+        return t.rename_columns(["term", "ptf"])
+
+    partials = pairs.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(Sum("ptf", alias_name="cf"))
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Top-k terms by collection frequency (sort + limit; deterministic
+    tie-break on term)."""
+    ds = term_cf(sf_dir)
+    return ds.sort(["cf", "term"], descending=[True, False]).limit(k)
+
+
+def corpus_stats(sf_dir: str):
+    """N, total token count, avg doc length — BM25 sidecar stats (A11)."""
+    from ray.data.aggregate import Count, Sum
+
+    tc = token_counts(sf_dir)
+    agg = tc.aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens"))
+    n, tot = int(agg["n_docs"]), int(agg["total_tokens"])
+    return pd.DataFrame([{
+        "n_docs": n,
+        "total_tokens": tot,
+        "avgdl": float(duck_round(tot / n, ROUND_SCORE)),
+    }])
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once) and cache the inverted index for a testdata documents
+    table; returns the index dir."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    index_dir = f"/tmp/eor_index_cache/{key}"
+    build_index(_t(sf_dir, "documents"), index_dir, from_html=False,
+                num_buckets=16, doc_range_size=1 << 16, batch_size=4096)
+    _INDEX_CACHE[sf_dir] = index_dir
+    return index_dir
+
+
+def bm25_topk(sf_dir: str, query: str = "spark merge batch", k: int = 10):
+    """BM25 top-k via the real index + WAND engine; scores rounded for the
+    cross-engine hash compare."""
+    from .query.engine import BlockMaxWand, taat_topk
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    res = BlockMaxWand(reader).topk(query, k=k)
+    assert res == taat_topk(reader, query, k=k)  # engine self-check
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": duck_round([s for _, s in res], ROUND_SCORE),
+    })
+
+
+def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
+    """Boolean AND full-text filter via posting-list intersection (Q1 as a
+    pure filter): doc_ids containing every term."""
+    from .index.codec import decode_run
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    result: np.ndarray | None = None
+    for t in sorted(terms):
+        run = reader.postings(t)
+        ids = decode_run(run)[0] if run is not None else np.array([], dtype=np.int64)
+        result = ids if result is None else np.intersect1d(result, ids)
+    return pd.DataFrame({"doc_id": np.sort(result if result is not None else [])})
+
+
+# --------------------------------------------------------------------------
+# relational pipelines (the reference's delegated ES query work, SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str):
+    """Grouped aggregate over lineitem (filter + groupby + sum/avg/count)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    ).to_pandas()
+    out["sum_qty"] = duck_round(out["sum_qty"], ROUND_MONEY)
+    out["sum_price"] = duck_round(out["sum_price"], ROUND_MONEY)
+    out["avg_disc"] = duck_round(out["avg_disc"], ROUND_SCORE)
+    return out
+
+
+def segment_revenue(sf_dir: str):
+    """Broadcast hash join orders -> customer (small side in the object
+    store once), grouped revenue per market segment."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSeg:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = pa.array([self.lookup.get(int(x)) for x in keys])
+            return b.append_column("c_mktsegment", seg)
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinSeg, fn_constructor_kwargs={"ref": seg_by_key},
+                                batch_format="pyarrow", concurrency=2)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    ).to_pandas()
+    out["revenue"] = duck_round(out["revenue"], ROUND_MONEY)
+    return out
+
+
+def time_window_counts(sf_dir: str,
+                       lo: str = "2024-01-05 00:00:00",
+                       hi: str = "2024-01-12 00:00:00"):
+    """Absolute time-range filter + count per type (Q4 get_time_filter)."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["ts", "event_type"])
+    lo64 = np.datetime64(lo)
+    hi64 = np.datetime64(hi)
+
+    def f(b: pa.Table) -> pa.Table:
+        ts = b["ts"]
+        mask = pc.and_(pc.greater_equal(ts, pa.scalar(lo64)),
+                       pc.less_equal(ts, pa.scalar(hi64)))
+        return b.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def exists_counts(sf_dir: str):
+    """_exists_ conjunction filter (Q5): rows where value and props are
+    both non-null, counted per type."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b["value"]), pc.is_valid(b["props"]))
+        return b.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def multi_key_counts(sf_dir: str):
+    """Multi-field concat group key (Q6 painless concat) + count."""
+    from ray.data.aggregate import Count
+
+    from .models.terms import add_key_column
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = add_key_column(ds, ["user_id", "event_type"], "agg_key")
+    return ds.groupby("agg_key").aggregate(Count(alias_name="n"))
+
+
+def first_occurrence(sf_dir: str):
+    """Per (user_id, event_type): earliest ts + doc count (S4/A8)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return ds.groupby(["user_id", "event_type"]).aggregate(
+        Min("ts", alias_name="first_ts"),
+        Count(alias_name="n"),
+    )
+
+
+def terms_across_counts(sf_dir: str):
+    """Distinct-target count per aggregator (A3 core): distinct users per
+    event_type."""
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", columns=["user_id", "event_type"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="pn"))
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_distinct"))
+
+
+_TERMS_COLS = {"event_id": np.int64, "aggregator": object, "target": object,
+               "term_count": np.float64}
+
+
+def _terms_out(out) -> pd.DataFrame:
+    df = out.to_pandas()
+    if df.empty:  # schema-stable empty result
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _TERMS_COLS.items()})
+    return df[list(_TERMS_COLS)]
+
+
+def terms_within_rare(sf_dir: str, max_count: int = 3):
+    """terms within_aggregator, float frontier, trigger low — "rarely seen
+    target within aggregator" (A4): event_ids whose (event_type, user_id)
+    pair occurs < max_count times (may legitimately be empty at small sf)."""
+    from .models.terms import terms_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    out = terms_model(ds, "event_type", "user_id",
+                      target_count_method="within_aggregator",
+                      trigger_method="float", trigger_sensitivity=max_count,
+                      trigger_on="low")
+    return _terms_out(out)
+
+
+def terms_within_median(sf_dir: str):
+    """terms within_aggregator, pct_of_median_value 50 low — scale-
+    invariant "rarely seen" (non-empty at every sf)."""
+    from .models.terms import terms_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    out = terms_model(ds, "event_type", "user_id",
+                      target_count_method="within_aggregator",
+                      trigger_method="pct_of_median_value",
+                      trigger_sensitivity=50, trigger_on="low")
+    return _terms_out(out)
+
+
+_METRICS_COLS = ["event_id", "aggregator", "metric"]
+
+
+def _metrics_out(out) -> pd.DataFrame:
+    df = out.to_pandas()
+    if df.empty:  # schema-stable empty result
+        return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                             "aggregator": pd.Series(dtype=object),
+                             "metric": pd.Series(dtype=np.float64)})
+    return df[_METRICS_COLS]
+
+
+def metrics_length_outliers(sf_dir: str):
+    """metrics model, length(props) per event_type, stdev*1 high (A6)."""
+    from .models.metrics import metrics_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    out = metrics_model(ds, "event_type", "props", metric="length",
+                        trigger_method="stdev", trigger_sensitivity=1,
+                        trigger_on="high")
+    return _metrics_out(out)
+
+
+def metrics_value_mad_outliers(sf_dir: str):
+    """metrics model, numerical_value(value) per event_type, mad*1 high."""
+    from .models.metrics import metrics_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = metrics_model(ds, "event_type", "value", metric="numerical_value",
+                        trigger_method="mad", trigger_sensitivity=1,
+                        trigger_on="high")
+    return _metrics_out(out)
+
+
+def sudden_appearance_events(sf_dir: str):
+    """sudden_appearance over events: 7d window sliding by 1d across
+    [2024-01-01, 2024-01-29] (§2.8)."""
+    import datetime as dt
+
+    from .models.sudden_appearance import sudden_appearance_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    out = sudden_appearance_model(
+        ds, "event_type", "user_id", ts_col="ts",
+        history_start=dt.datetime(2024, 1, 1),
+        history_end=dt.datetime(2024, 1, 29),
+        slide=dt.timedelta(days=7), step=dt.timedelta(days=1),
+        tiebreak_col="event_id")
+    return out.select_columns(
+        ["aggregator", "target", "win_start", "win_end", "first_ts", "event_id"])
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) over `documents` and `embeddings`
+# --------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str):
+    from .dedup import exact_dedup
+
+    return exact_dedup(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    from .dedup import minhash_near_dups
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dups(ds, threshold=threshold)
+
+
+def dedup_simhash(sf_dir: str):
+    from .dedup import simhash_candidates
+
+    return simhash_candidates(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _query_embedding(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", vec_id)])
+    return np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def ann_cosine(sf_dir: str, k: int = 10):
+    from .similarity import cosine_topk
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_topk(ds, _query_embedding(sf_dir), k=k)
+
+
+def ann_ivf(sf_dir: str, k: int = 10):
+    """IVF-probed ANN (approximate; rows-only check — recall tested in
+    pytest against the brute-force baseline)."""
+    import pyarrow.parquet as pq
+
+    from .similarity import IvfIndex
+
+    sample = np.array(
+        pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
+        ["embedding"].to_pylist(), dtype=np.float64)
+    idx = IvfIndex(n_lists=8).fit(sample)
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return idx.probe_topk(idx.assign_column(ds), _query_embedding(sf_dir), k=k)
+
+
+def embedding_dups(sf_dir: str, threshold: float = 0.9):
+    from .similarity import embedding_near_dups
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=threshold)
+
+
+def quality(sf_dir: str):
+    from .textstats import quality_scores
+
+    return quality_scores(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def langid_documents(sf_dir: str):
+    from .textstats import langid
+
+    return langid(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def bpe_counts(sf_dir: str):
+    from .textstats import bpe_token_counts
+
+    return bpe_token_counts(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def fingerprints(sf_dir: str):
+    from .textstats import fingerprint
+
+    return fingerprint(read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def media_features(sf_dir: str):
+    """Multimodal decode stage over the deterministic synthetic media
+    table (payload columns are not part of the driver testdata)."""
+    import ray.data
+
+    from .multimodal import decode_features, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(n=64, seed=5))
+    return decode_features(ds, fake=True)
