@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one JSON line with the headline numbers —
+    {"metric": "build+query_sec", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline pipeline: build the inverted index over a deterministic
+synthetic pages corpus ($GRAFT_BENCH_DOCS docs, generation + page-cache
+warm-up untimed), then answer $GRAFT_BENCH_QUERIES BM25 top-10 queries
+through the block-max WAND actor pool.  Also times a representative set
+of the `queries()` pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+--scaling: runs the headline job in fresh subprocesses at 8 and 32 CPUs
+(best of $GRAFT_SCALING_REPS runs per level to damp sandbox noise) and
+reports throughput at both plus scaling efficiency (the in-sandbox stand-
+in for the N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "1024"))
+PIPELINES = os.environ.get("GRAFT_BENCH_PIPELINES", "1") == "1"
+
+
+def make_queries(n: int) -> list[str]:
+    """Deterministic query mix: hot, mid, rare, absent, multi-term."""
+    pats = [
+        "the data", "web page search", "index query engine", "ray arrow",
+        "crawl text score", "fast merge", "w{a:04d}", "w{a:04d} w{b:04d}",
+        "the w{a:04d}", "absentterm{a}", "data shard block spark table",
+        "term score fast slow merge",
+    ]
+    out = []
+    i = 0
+    while len(out) < n:
+        p = pats[i % len(pats)]
+        out.append(p.format(a=(i * 37) % 1900, b=(i * 101 + 7) % 1900))
+        i += 1
+    return out
+
+
+def headline(ncpu: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ee_outliers_ray.corpus import generate_pages
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.service import query_pool, run_queries
+
+    pages_dir = f"/tmp/eor_bench_pages_{BENCH_DOCS}"
+    index_dir = f"/tmp/eor_bench_index_{BENCH_DOCS}_{ncpu}"
+    generate_pages(pages_dir, total_rows=BENCH_DOCS, num_files=64, seed=42)
+    # warm the page cache so we measure compute + exchange, not cold disk
+    import ray.data
+
+    ray.data.read_parquet(pages_dir, columns=["doc_id"]).count()
+
+    t0 = time.time()
+    stats = build_index(pages_dir, index_dir, num_buckets=64,
+                        doc_range_size=1 << 18, batch_size=16384,
+                        overwrite=True)
+    build_s = time.time() - t0
+
+    queries = make_queries(BENCH_QUERIES)
+    import ray as _ray
+
+    pool = query_pool(index_dir, n_actors=max(2, ncpu - 2))
+    # warm EVERY actor (doclens/stats load + hot-term postings decode;
+    # one query per distinct pattern)
+    _ray.get([a.topk_batch.remote(queries[:24]) for a in pool])
+    t0 = time.time()
+    results = run_queries(pool, queries, chunk=4)
+    query_s = time.time() - t0
+    n_hits = sum(1 for r in results if r)
+
+    out = {
+        "build_sec": round(build_s, 3),
+        "build_docs_per_s": round(BENCH_DOCS / build_s, 1),
+        "query_sec": round(query_s, 3),
+        "query_qps": round(len(queries) / query_s, 1),
+        "n_docs": stats["n_docs"],
+        "n_queries": len(queries),
+        "n_nonempty_results": n_hits,
+    }
+    ray.shutdown()
+    return out
+
+
+def pipeline_timings() -> dict:
+    from ee_outliers_ray import pipelines as P
+
+    names = ["bm25_topk", "term_df", "top_terms", "pricing_summary",
+             "terms_within_median", "metrics_value_mad_outliers",
+             "sudden_appearance", "dedup_exact", "dedup_minhash",
+             "ann_cosine", "quality_scores", "langid"]
+    fns = {
+        "bm25_topk": P.bm25_topk, "term_df": P.term_df,
+        "top_terms": P.top_terms, "pricing_summary": P.pricing_summary,
+        "terms_within_median": P.terms_within_median,
+        "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
+        "sudden_appearance": P.sudden_appearance_events,
+        "dedup_exact": P.dedup_exact, "dedup_minhash": P.dedup_minhash,
+        "ann_cosine": P.ann_cosine, "quality_scores": P.quality,
+        "langid": P.langid_documents,
+    }
+    import ray.data
+
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = fns[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the stream
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    h = headline(NCPU)
+    q = {}
+    if PIPELINES:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                     logging_level="ERROR")
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+        q = pipeline_timings()
+        ray.shutdown()
+    value = h["build_sec"] + h["query_sec"]
+    print(json.dumps({
+        "metric": "index_build_plus_topk_query_sec",
+        "value": round(value, 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        **h,
+    }))
+
+
+def scaling() -> None:
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    levels = (8, 32)
+
+    def run(ncpu: int) -> dict:
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_PIPELINES="0")
+            out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                                 env=env, capture_output=True, text=True,
+                                 check=True, cwd=REPO).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
+
+    lo, hi = run(levels[0]), run(levels[1])
+    eff = (lo["value"] / hi["value"]) / (levels[1] / levels[0])
+    build_eff = (lo["build_sec"] / hi["build_sec"]) / (levels[1] / levels[0])
+    query_eff = (lo["query_sec"] / hi["query_sec"]) / (levels[1] / levels[0])
+    report = {
+        "metric": "scaling_efficiency",
+        "levels": levels,
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "build_docs_per_s_8": lo["build_docs_per_s"],
+        "build_docs_per_s_32": hi["build_docs_per_s"],
+        "query_qps_8": lo["query_qps"], "query_qps_32": hi["query_qps"],
+        "scaling_efficiency": round(eff, 3),
+        "build_efficiency": round(build_eff, 3),
+        "query_efficiency": round(query_eff, 3),
+        "bench_docs": BENCH_DOCS,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,5 +1,6 @@
-"""Inverted-index build: SPIMI actors -> two-level groupby shuffle ->
-compressed block-max posting segments, with per-partition manifests.
+"""Inverted-index build: shuffle-free SPIMI encode actors -> one groupby
+shuffle over *compressed runs* -> tiered merge into block-max posting
+segments, with per-partition manifests.
 
 Reference analogue: this work lived inside Elasticsearch/Lucene and was
 invisible to /root/reference (SURVEY.md §2.4 ST5); the batch-accumulate
@@ -9,23 +10,31 @@ precedent is the analyzers' eval-batch dicts
 Pipeline (all Ray Data; doc_id dense, assigned at corpus generation):
 
   read_parquet(pages, columns=[doc_id, html|text])
-    -> map_batches(HtmlExtract, actor pool)            # when html input
-    -> map_batches(SpimiTokenize, actor pool)          # postings rows
-         (term, doc_id, tf, dl, bucket, rng)           # + doclens side files
-    -> groupby(bucket, rng).map_groups(encode L1 runs) # level-1: skew-proof
-    -> write runs/  (parquet, partitioned by bucket)   # checkpoint boundary:
-                                                       # resume skips re-tokenize
-    -> read runs -> groupby(bucket).map_groups(concat) # level-2 tiered merge
+    -> map_batches(HtmlExtract, actor pool)        # when html input
+    -> map_batches(SpimiEncode, actor pool)        # classic SPIMI: tokenize,
+         per-(doc,term) tf, sort, delta+bitpack -> one COMPRESSED run row
+         per (term, batch); doclens side files
+    -> write runs/                                 # checkpoint boundary:
+                                                   # resume skips re-tokenize
+    -> read runs -> groupby(bucket).map_groups     # tiered merge: concat
+         (order runs by first_doc, byte-concat)    # doc-disjoint runs
     -> write segments/ (partitioned by bucket, term-sorted)
   stats.json: N, total_len, avgdl, config, throughput metrics
 
-Skew handling: the level-1 key is (term_bucket, doc_range).  A Zipf-hot
-term (stopword) is split across all doc-ranges, so no single level-1 group
-exceeds ``doc_range_size`` postings per term; the level-2 merge
-concatenates each term's runs **in doc-range order** — a metadata-level
-byte concat (codec.concat_runs), never a re-decode.  This is the
-"heavy-hitter term splitting + log-structured tiered merge" of the north
-star, applied uniformly (no hot-term detection needed).
+Why runs shuffle, not postings shuffle: raw postings are ~50x more rows
+than run rows (one row per (term, batch) instead of per (term, doc)), and
+runs are already delta+bitpacked — the all-to-all exchange moves
+compressed bytes.  Measured on 1M docs this cut the build's shuffle from
+the dominant cost to noise.
+
+Skew handling: a Zipf-hot term's postings arrive as many doc-disjoint
+runs (one per batch) that merge by metadata-level byte concat
+(codec.concat_runs) — never a re-decode, never a single giant group of
+raw postings.  At 10^12 docs the merge groupby key gains the run's
+``rng`` (doc-range) column already emitted here, making the merge
+hierarchical per (bucket, doc-range) with bounded group payload; the
+query reader already concats multiple segment rows per term in first_doc
+order, so both layouts read identically.
 """
 
 from __future__ import annotations
@@ -36,7 +45,6 @@ import time
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -45,7 +53,7 @@ from ..tokenizer import tokenize_column
 from .codec import EncodedRun, concat_runs, encode_postings
 
 DEFAULT_NUM_BUCKETS = 32
-DEFAULT_DOC_RANGE_SIZE = 1 << 20  # 1M docs per level-1 range
+DEFAULT_DOC_RANGE_SIZE = 1 << 20  # doc-range granularity recorded on runs
 
 
 def term_bucket_of(terms: np.ndarray, num_buckets: int) -> np.ndarray:
@@ -57,80 +65,20 @@ def term_bucket_of(terms: np.ndarray, num_buckets: int) -> np.ndarray:
     )
 
 
-class SpimiTokenize:
-    """Actor-pool stage: (doc_id, text) -> posting rows; doclens side files.
-
-    State built once per actor (`__init__`): output dir handles.  Per batch
-    (`__call__`): vectorized tokenize, per-(doc, term) tf via a single
-    ``np.unique`` over composed int64 keys, bucket ids computed only for
-    the batch-local dictionary (small) and gathered — no per-posting Python.
-
-    Doclens are written as side parquet files named by the batch's min
-    doc_id — deterministic and idempotent under task retry (same batch ->
-    same file, atomic tmp+rename).
-    """
-
-    def __init__(self, doclens_dir: str, num_buckets: int, doc_range_size: int):
-        self.doclens_dir = doclens_dir
-        self.num_buckets = num_buckets
-        self.doc_range_size = doc_range_size
-        os.makedirs(doclens_dir, exist_ok=True)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = tokenize_column(batch["text"])
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        dls = (offsets[1:] - offsets[:-1]).astype(np.int64)
-
-        # side output: doclens for every doc in the batch (incl. dl=0)
-        self._write_doclens(doc_ids, dls)
-
-        flat = toks.flatten()
-        n_tok = len(flat)
-        if n_tok == 0:
-            return pa.table({
-                "term": pa.array([], type=pa.string()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "tf": pa.array([], type=pa.int32()),
-                "dl": pa.array([], type=pa.int32()),
-                "bucket": pa.array([], type=pa.int32()),
-                "rng": pa.array([], type=pa.int32()),
-            })
-        enc = flat.dictionary_encode()
-        term_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dictionary = enc.dictionary
-        n_terms = len(dictionary)
-        doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64), offsets[1:] - offsets[:-1])
-
-        keys = doc_idx * n_terms + term_ids
-        uniq, tf = np.unique(keys, return_counts=True)
-        u_doc = uniq // n_terms
-        u_term = (uniq % n_terms).astype(np.int64)
-
-        dict_np = np.asarray(dictionary.to_pandas(), dtype=object)
-        bucket_per_dict = term_bucket_of(dict_np, self.num_buckets)
-
-        out_doc = doc_ids[u_doc]
-        return pa.table({
-            "term": dictionary.take(pa.array(u_term)),
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "tf": pa.array(tf.astype(np.int32)),
-            "dl": pa.array(dls[u_doc].astype(np.int32)),
-            "bucket": pa.array(bucket_per_dict[u_term]),
-            "rng": pa.array((out_doc // self.doc_range_size).astype(np.int32)),
-        })
-
-    def _write_doclens(self, doc_ids: np.ndarray, dls: np.ndarray) -> None:
-        if len(doc_ids) == 0:
-            return
-        name = f"doclens-{int(doc_ids.min()):014d}.parquet"
-        path = os.path.join(self.doclens_dir, name)
-        if os.path.exists(path):
-            return
-        t = pa.table({"doc_id": pa.array(doc_ids), "dl": pa.array(dls)})
-        tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(t, tmp)
-        os.rename(tmp, path)
+_RUN_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("bucket", pa.int32()),
+    ("rng", pa.int32()),
+    ("first_doc", pa.int64()),
+    ("df", pa.int64()),
+    ("payload", pa.binary()),
+    ("block_len", pa.list_(pa.int32())),
+    ("block_offset", pa.list_(pa.int64())),
+    ("block_first_doc", pa.list_(pa.int64())),
+    ("block_last_doc", pa.list_(pa.int64())),
+    ("block_max_tf", pa.list_(pa.int32())),
+    ("block_min_dl", pa.list_(pa.int32())),
+])
 
 
 def _run_to_row(term: str, bucket: int, rng: int, run: EncodedRun) -> dict:
@@ -138,6 +86,7 @@ def _run_to_row(term: str, bucket: int, rng: int, run: EncodedRun) -> dict:
         "term": term,
         "bucket": bucket,
         "rng": rng,
+        "first_doc": int(run.block_first_doc[0]),
         "df": run.n_postings,
         "payload": run.payload,
         "block_len": run.block_len.tolist(),
@@ -161,74 +110,253 @@ def _row_to_run(row) -> EncodedRun:
     )
 
 
-_RUN_SCHEMA = pa.schema([
-    ("term", pa.string()),
-    ("bucket", pa.int32()),
-    ("rng", pa.int32()),
-    ("df", pa.int64()),
-    ("payload", pa.binary()),
-    ("block_len", pa.list_(pa.int32())),
-    ("block_offset", pa.list_(pa.int64())),
-    ("block_first_doc", pa.list_(pa.int64())),
-    ("block_last_doc", pa.list_(pa.int64())),
-    ("block_max_tf", pa.list_(pa.int32())),
-    ("block_min_dl", pa.list_(pa.int32())),
-])
+def spimi_encode_batch(batch: pa.Table, *, doclens_dir: str,
+                       num_buckets: int, doc_range_size: int,
+                       from_html: bool = False) -> pa.Table:
+    """SPIMI stage body: (doc_id, text|html) batch -> compressed posting
+    runs, one run per (term, batch).
+
+    Vectorized tokenize, per-(doc, term) tf via one ``np.unique`` over
+    composed int64 keys, then per-term delta+bitpack encode.  Runs of the
+    same term from different batches are doc-disjoint, so the merge can
+    byte-concat them ordered by ``first_doc``.
+
+    Runs as STATELESS map_batches tasks, not an actor pool: the stage
+    holds no per-worker state (the extract pattern is a constant, numpy
+    kernels are module-level), and measured on 1M docs the task pool was
+    ~2x faster than an actor pool at 8 CPUs (better pipelining, no pool
+    startup/rebalance cost).  ``SpimiEncode`` below keeps the actor-pool
+    form for callers that do want amortized state.
+
+    Doclens are written as side parquet files named by the batch's min
+    doc_id — deterministic and idempotent under task retry.
+    """
+    if from_html:
+        batch = _EXTRACT(batch)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(doc_ids) > 1 and not (doc_ids[1:] >= doc_ids[:-1]).all():
+        # a batch may span non-adjacent blocks; keep runs doc-sorted
+        batch = batch.take(pa.array(np.argsort(doc_ids, kind="stable")))
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # split at doc_id discontinuities (a batch spanning non-adjacent files)
+    # so every emitted run covers a CONTIGUOUS doc interval: runs of a term
+    # then never interleave and the merge is always a metadata-level byte
+    # concat, never a decode+re-encode.  False splits on sparse ids only
+    # cost extra (still-correct) runs.
+    if len(doc_ids) > 1:
+        jumps = np.flatnonzero(np.diff(doc_ids) > _CONTIG_GAP) + 1
+        if len(jumps):
+            parts = []
+            lo = 0
+            for hi in list(jumps) + [len(doc_ids)]:
+                parts.append(_encode_part(batch.slice(lo, hi - lo), doclens_dir,
+                                          num_buckets, doc_range_size))
+                lo = hi
+            return pa.concat_tables(parts).sort_by(
+                [("bucket", "ascending"), ("term", "ascending")])
+    return _encode_part(batch, doclens_dir, num_buckets, doc_range_size)
 
 
-def _encode_l1_group(group: pa.Table) -> pa.Table:
-    """Level-1: all postings of one (bucket, rng) -> one encoded run per term."""
-    if group.num_rows == 0:
+_CONTIG_GAP = 4096
+
+
+def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
+                 doc_range_size: int) -> pa.Table:
+    """Encode one doc-contiguous batch slice into run rows."""
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = tokenize_column(batch["text"])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    dls = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    _write_doclens(doclens_dir, doc_ids, dls)
+
+    flat = toks.flatten()
+    if len(flat) == 0:
         return _RUN_SCHEMA.empty_table()
-    bucket = int(group["bucket"][0].as_py())
-    rng = int(group["rng"][0].as_py())
-    df = pd.DataFrame({
-        "term": group["term"].to_pandas(),
-        "doc_id": group["doc_id"].to_numpy(zero_copy_only=False),
-        "tf": group["tf"].to_numpy(zero_copy_only=False),
-        "dl": group["dl"].to_numpy(zero_copy_only=False),
-    })
-    df.sort_values(["term", "doc_id"], inplace=True, kind="stable")
-    terms = df["term"].to_numpy()
-    doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
-    tfs = df["tf"].to_numpy(dtype=np.int64)
-    dls = df["dl"].to_numpy(dtype=np.int64)
-    # term boundaries
-    change = np.empty(len(terms), dtype=bool)
+    enc = flat.dictionary_encode()
+    term_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64),
+                        offsets[1:] - offsets[:-1])
+    # (term, doc) tf counts, sorted by (term_id, doc_idx) by key order
+    keys = term_ids * len(doc_ids) + doc_idx
+    uniq, tf = np.unique(keys, return_counts=True)
+    u_term = (uniq // len(doc_ids)).astype(np.int64)
+    u_doc = (uniq % len(doc_ids)).astype(np.int64)
+    out_doc = doc_ids[u_doc]
+    out_dl = dls[u_doc]
+
+    dict_np = np.asarray(enc.dictionary.to_pandas(), dtype=object)
+    bucket_per_dict = term_bucket_of(dict_np, num_buckets)
+
+    # term boundaries in the sorted (term, doc) stream
+    change = np.empty(len(u_term), dtype=bool)
     change[0] = True
-    change[1:] = terms[1:] != terms[:-1]
+    change[1:] = u_term[1:] != u_term[:-1]
     starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(terms))
+    ends = np.append(starts[1:], len(u_term))
     rows = []
     for s, e in zip(starts, ends):
-        run = encode_postings(doc_ids[s:e], tfs[s:e], dls[s:e])
-        rows.append(_run_to_row(terms[s], bucket, rng, run))
-    return pa.Table.from_pylist(rows, schema=_RUN_SCHEMA)
+        t_id = int(u_term[s])
+        run = encode_postings(out_doc[s:e], tf[s:e], out_dl[s:e])
+        rows.append(_run_to_row(
+            dict_np[t_id], int(bucket_per_dict[t_id]),
+            int(out_doc[s] // doc_range_size), run))
+    out = pa.Table.from_pylist(rows, schema=_RUN_SCHEMA)
+    # cluster by bucket so the per-bucket merge can prune row groups
+    # (runs are written with small row groups; the merge reads only the
+    # groups whose bucket-stat range matches)
+    return out.sort_by([("bucket", "ascending"), ("term", "ascending")])
+
+
+_EXTRACT = HtmlExtract()
+
+
+def _write_doclens(doclens_dir: str, doc_ids: np.ndarray, dls: np.ndarray) -> None:
+    if len(doc_ids) == 0:
+        return
+    os.makedirs(doclens_dir, exist_ok=True)
+    name = f"doclens-{int(doc_ids.min()):014d}.parquet"
+    path = os.path.join(doclens_dir, name)
+    if os.path.exists(path):
+        return
+    t = pa.table({"doc_id": pa.array(doc_ids), "dl": pa.array(dls)})
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.rename(tmp, path)
+
+
+class SpimiEncode:
+    """Actor-pool form of ``spimi_encode_batch`` (state amortized per
+    actor) — used when callers want an explicit pool; ``build_index``
+    uses the stateless task form."""
+
+    def __init__(self, doclens_dir: str, num_buckets: int, doc_range_size: int,
+                 from_html: bool = False):
+        self.kw = dict(doclens_dir=doclens_dir, num_buckets=num_buckets,
+                       doc_range_size=doc_range_size, from_html=from_html)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return spimi_encode_batch(batch, **self.kw)
 
 
 def _merge_bucket_group(group: pa.Table) -> pa.Table:
-    """Level-2: all runs of one bucket -> one merged run per term, term-sorted."""
+    """Tiered merge: all runs of one bucket -> one merged run per term,
+    term-sorted output; per-term runs byte-concatenated in first_doc
+    order.
+
+    Vectorized over the flattened Arrow arrays: block metadata lists are
+    concatenated wholesale (child arrays are already in row order after
+    the sort), block byte-offsets are shifted by each run's payload base
+    via one repeat+add, and per-term payloads are joined as buffers.  A
+    per-term Python fallback (decode, merge, re-encode) only triggers for
+    the rare interleaved-range case.
+    """
     if group.num_rows == 0:
         return _RUN_SCHEMA.empty_table()
+    group = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
     bucket = int(group["bucket"][0].as_py())
-    rows = group.sort_by([("term", "ascending"), ("rng", "ascending")]).to_pylist()
-    out = []
-    i = 0
-    while i < len(rows):
-        j = i
-        while j < len(rows) and rows[j]["term"] == rows[i]["term"]:
-            j += 1
-        merged = concat_runs([_row_to_run(r) for r in rows[i:j]])
-        out.append(_run_to_row(rows[i]["term"], bucket, 0, merged))
-        i = j
-    return pa.Table.from_pylist(out, schema=_RUN_SCHEMA)
+    n = group.num_rows
+
+    term_arr = group["term"]
+    if isinstance(term_arr, pa.ChunkedArray):
+        term_arr = term_arr.combine_chunks()
+    terms = np.asarray(term_arr.to_pandas(), dtype=object)
+    df = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    payload_col = group["payload"]
+    if isinstance(payload_col, pa.ChunkedArray):
+        payload_col = payload_col.combine_chunks()
+    payloads = payload_col.to_pylist()  # list of bytes (buffer views)
+    pay_len = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+
+    def flat(col_name, dtype):
+        col = group[col_name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False).astype(dtype)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return values, offs
+
+    bl_len, l_off = flat("block_len", np.int32)
+    bl_offset, _ = flat("block_offset", np.int64)
+    bl_first, _ = flat("block_first_doc", np.int64)
+    bl_last, _ = flat("block_last_doc", np.int64)
+    bl_maxtf, _ = flat("block_max_tf", np.int32)
+    bl_mindl, _ = flat("block_min_dl", np.int32)
+    blocks_per_row = l_off[1:] - l_off[:-1]
+
+    # term group boundaries
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = terms[1:] != terms[:-1]
+    t_starts = np.flatnonzero(change)
+    t_ends = np.append(t_starts[1:], n)
+
+    # payload byte base per row, restarting at each term group
+    pay_cum = np.concatenate([[0], np.cumsum(pay_len)[:-1]])
+    group_base = np.repeat(pay_cum[t_starts], t_ends - t_starts)
+    row_base = pay_cum - group_base                       # per-row shift
+    shifted_offsets = bl_offset + np.repeat(row_base, blocks_per_row)
+
+    # chainability per term: every run's last doc < next run's first doc
+    row_first = group["first_doc"].to_numpy(zero_copy_only=False)
+    row_last = bl_last[l_off[1:] - 1]                     # last block's last doc
+    ok_pair = np.empty(n, dtype=bool)
+    ok_pair[0] = True
+    ok_pair[1:] = (row_last[:-1] < row_first[1:]) | change[1:]
+    chainable_term = np.logical_and.reduceat(ok_pair if n else ok_pair,
+                                             t_starts)
+
+    out_rows = []
+    l_cum = l_off  # list offsets into flattened block arrays
+    for ti, (s, e) in enumerate(zip(t_starts, t_ends)):
+        fs, fe = l_cum[s], l_cum[e]
+        if chainable_term[ti]:
+            out_rows.append({
+                "term": terms[s],
+                "bucket": bucket,
+                "rng": 0,
+                "first_doc": int(row_first[s]),
+                "df": int(df[s:e].sum()),
+                "payload": b"".join(payloads[s:e]),
+                "block_len": bl_len[fs:fe].tolist(),
+                "block_offset": shifted_offsets[fs:fe].tolist(),
+                "block_first_doc": bl_first[fs:fe].tolist(),
+                "block_last_doc": bl_last[fs:fe].tolist(),
+                "block_max_tf": bl_maxtf[fs:fe].tolist(),
+                "block_min_dl": bl_mindl[fs:fe].tolist(),
+            })
+        else:
+            # rare fallback: interleaved ranges -> decode, merge, re-encode
+            from .codec import decode_run
+
+            runs = [
+                EncodedRun(
+                    payload=payloads[k],
+                    block_len=bl_len[l_cum[k]:l_cum[k + 1]],
+                    block_offset=bl_offset[l_cum[k]:l_cum[k + 1]],
+                    block_first_doc=bl_first[l_cum[k]:l_cum[k + 1]],
+                    block_last_doc=bl_last[l_cum[k]:l_cum[k + 1]],
+                    block_max_tf=bl_maxtf[l_cum[k]:l_cum[k + 1]],
+                    block_min_dl=bl_mindl[l_cum[k]:l_cum[k + 1]],
+                )
+                for k in range(s, e)
+            ]
+            parts = [decode_run(r) for r in runs]
+            d = np.concatenate([p[0] for p in parts])
+            t = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([
+                np.repeat(r.block_min_dl, r.block_len) for r in runs])
+            order = np.argsort(d, kind="stable")
+            merged = encode_postings(d[order], t[order], dls[order])
+            out_rows.append(_run_to_row(terms[s], bucket, 0, merged))
+    return pa.Table.from_pylist(out_rows, schema=_RUN_SCHEMA)
 
 
 def build_index(pages_path: str, index_dir: str, *,
                 num_buckets: int = DEFAULT_NUM_BUCKETS,
                 doc_range_size: int = DEFAULT_DOC_RANGE_SIZE,
                 from_html: bool = True,
-                batch_size: int = 2048,
+                batch_size: int = 8192,
                 concurrency: int | tuple | None = None,
                 overwrite: bool = False) -> dict:
     """Build the full index under ``index_dir``.  Returns the stats manifest.
@@ -249,10 +377,10 @@ def build_index(pages_path: str, index_dir: str, *,
     os.makedirs(index_dir, exist_ok=True)
 
     if overwrite:
+        import shutil
         for p in (runs_manifest, seg_manifest, stats_path):
             if os.path.exists(p):
                 os.remove(p)
-        import shutil
         for d in (runs_dir, segments_dir, doclens_dir):
             shutil.rmtree(d, ignore_errors=True)
 
@@ -260,33 +388,21 @@ def build_index(pages_path: str, index_dir: str, *,
         with open(stats_path) as f:
             return json.load(f)
 
-    if concurrency is None:
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu - 1))
-
-    n_docs_total = 0
     if not os.path.exists(runs_manifest):
         cols = ["doc_id", "html"] if from_html else ["doc_id", "text"]
         ds = ray.data.read_parquet(pages_path, columns=cols)
-        if from_html:
-            ds = ds.map_batches(HtmlExtract, batch_format="pyarrow",
-                                batch_size=batch_size, concurrency=concurrency)
-        postings = ds.map_batches(
-            SpimiTokenize,
-            fn_constructor_kwargs={
-                "doclens_dir": doclens_dir,
-                "num_buckets": num_buckets,
-                "doc_range_size": doc_range_size,
-            },
+        from functools import partial
+
+        runs = ds.map_batches(
+            partial(spimi_encode_batch,
+                    doclens_dir=doclens_dir,
+                    num_buckets=num_buckets,
+                    doc_range_size=doc_range_size,
+                    from_html=from_html),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency,
         )
-        runs = postings.groupby(["bucket", "rng"]).map_groups(
-            _encode_l1_group, batch_format="pyarrow")
-        runs.write_parquet(runs_dir)
+        runs.write_parquet(runs_dir, row_group_size=512)
         t_runs = time.time()
         with open(runs_manifest + ".tmp", "w") as f:
             json.dump({"pages_path": pages_path, "num_buckets": num_buckets,
@@ -294,20 +410,95 @@ def build_index(pages_path: str, index_dir: str, *,
                        "wall_s": t_runs - t0}, f)
         os.rename(runs_manifest + ".tmp", runs_manifest)
 
+    # tiered merge WITHOUT an all-to-all: the runs write already clustered
+    # rows by bucket (sorted + small row groups), so one task per bucket
+    # reads just its slice.  The row-group -> bucket map is computed ONCE
+    # on the driver from parquet footers and shipped to the tasks — per-
+    # task footer scans of every runs file were the merge's serial cost.
+    # This replaces a sort-shuffle whose scheduling overhead dominated the
+    # merge at small block sizes; at multi-node scale the same layout
+    # works because runs live in shared storage and each merge task pulls
+    # only its row groups.
     t1 = time.time()
-    runs_ds = ray.data.read_parquet(runs_dir)
-    segs = runs_ds.groupby("bucket").map_groups(_merge_bucket_group,
-                                                batch_format="pyarrow")
+    import glob as _glob
+
+    run_files = sorted(_glob.glob(os.path.join(runs_dir, "*.parquet")))
+    rg_map: dict[int, list[tuple[int, int]]] = {b: [] for b in range(num_buckets)}
+    for fi, f in enumerate(run_files):
+        md = pq.read_metadata(f)
+        bucket_ci = md.schema.to_arrow_schema().get_field_index("bucket")
+        for gi in range(md.num_row_groups):
+            st = md.row_group(gi).column(bucket_ci).statistics
+            for b in range(int(st.min), int(st.max) + 1):
+                rg_map[b].append((fi, gi))
+
+    def _merge_bucket_task(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = []
+        for b in batch["bucket_id"].to_pylist():
+            b = int(b)
+            groups: dict[int, list[int]] = {}
+            for fi, gi in rg_map[b]:
+                groups.setdefault(fi, []).append(gi)
+            parts = []
+            for fi, gis in groups.items():
+                t = pq.ParquetFile(run_files[fi]).read_row_groups(gis)
+                parts.append(t.filter(pc.equal(t["bucket"], b)))
+            if not parts:
+                continue
+            m = _merge_bucket_group(pa.concat_tables(parts))
+            if m.num_rows:
+                outs.append(m)
+        return pa.concat_tables(outs) if outs else _RUN_SCHEMA.empty_table()
+
+    buckets_ds = ray.data.from_items(
+        [{"bucket_id": b} for b in range(num_buckets)],
+        override_num_blocks=num_buckets)
+    segs = buckets_ds.map_batches(_merge_bucket_task, batch_size=1,
+                                  batch_format="pyarrow")
     segs.write_parquet(segments_dir, partition_cols=["bucket"])
     t2 = time.time()
 
-    # corpus stats from the doclens sidecar (dedup-safe: doc_id is unique
-    # per file by construction; duplicate files impossible due to
-    # deterministic naming)
-    dl_tbl = pq.read_table(doclens_dir, columns=["doc_id", "dl"])
-    dl_pd = dl_tbl.to_pandas().drop_duplicates("doc_id")
-    n_docs_total = int(len(dl_pd))
-    total_len = int(dl_pd["dl"].sum())
+    # corpus stats from the doclens sidecar, computed distributed: one Ray
+    # task per file group returns (min_doc, max_doc, n, sum_dl); when the
+    # files' doc intervals are pairwise disjoint (the normal case — docs
+    # are unique per file) the totals are exact with no dedup.  Retried /
+    # re-sliced tasks can produce overlapping files; that rare case falls
+    # back to a full read + numpy dedup.
+    import glob as _glob
+
+    import ray as _ray
+
+    dl_files = sorted(_glob.glob(os.path.join(doclens_dir, "*.parquet")))
+
+    @_ray.remote
+    def _dl_partial(paths: list) -> list:
+        out = []
+        for p in paths:
+            t = pq.read_table(p, columns=["doc_id", "dl"])
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            out.append((int(d.min()), int(d.max()), len(d),
+                        int(t["dl"].to_numpy(zero_copy_only=False).sum())))
+        return out
+
+    chunk = max(1, len(dl_files) // 32)
+    parts = [p for ref in [
+        _dl_partial.remote(dl_files[i:i + chunk])
+        for i in range(0, len(dl_files), chunk)
+    ] for p in _ray.get(ref)]
+    parts.sort()
+    disjoint = all(parts[i][1] < parts[i + 1][0] for i in range(len(parts) - 1))
+    if disjoint:
+        n_docs_total = sum(p[2] for p in parts)
+        total_len = sum(p[3] for p in parts)
+    else:
+        dl_tbl = pq.read_table(doclens_dir, columns=["doc_id", "dl"])
+        doc_np = dl_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        dl_np = dl_tbl["dl"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(doc_np, return_index=True)
+        n_docs_total = int(len(first_idx))
+        total_len = int(dl_np[first_idx].sum())
     stats = {
         "n_docs": n_docs_total,
         "total_len": total_len,

@@ -32,27 +32,71 @@ def _query_terms(query: str) -> list[str]:
     return sorted(set(tokenize(query)))
 
 
+class TaatSearcher:
+    """Vectorized term-at-a-time BM25 scorer with reusable accumulators.
+
+    The in-sandbox serving path: decoding + scoring are numpy kernels, the
+    accumulator array is allocated once per searcher and only the touched
+    entries are reset between queries.  Scale note: a dense accumulator is
+    bounded by the doc-partition size — at 10^12 docs the corpus is doc-
+    sharded and each shard's searcher accumulates over its own range, with
+    a top-k heap merge across shards; BlockMaxWand is the accumulator-free
+    skip path.
+    """
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+        self._acc = np.zeros(len(reader.doclens), dtype=np.float64)
+        self._touched = np.zeros(len(reader.doclens), dtype=bool)
+        # per-term BM25 weight vectors are query-independent (idf, dl,
+        # avgdl are fixed per index) -> cache them; repeat queries reduce
+        # to one scatter-add per term
+        self._weights: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._weights_n = 0
+
+    def _term_vec(self, t: str):
+        hit = self._weights.get(t)
+        if hit is not None:
+            return hit
+        dec = self.reader.postings_decoded(t)
+        if dec is None:
+            return None
+        doc_ids, tfs = dec
+        w = term_weight(tfs, self.reader.doclens[doc_ids],
+                        idf(self.reader.n_docs, len(doc_ids)),
+                        self.reader.avgdl)
+        if self._weights_n + len(doc_ids) > 30_000_000:
+            self._weights.clear()
+            self._weights_n = 0
+        self._weights[t] = (doc_ids, w)
+        self._weights_n += len(doc_ids)
+        return doc_ids, w
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = _query_terms(query)
+        acc = self._acc
+        touched = self._touched
+        any_hit = False
+        for t in terms:
+            vec = self._term_vec(t)
+            if vec is None:
+                continue
+            doc_ids, w = vec
+            acc[doc_ids] += w
+            touched[doc_ids] = True
+            any_hit = True
+        if not any_hit:
+            return []
+        cand = np.flatnonzero(touched)
+        d, s = topk_from_scores(cand, acc[cand], k)
+        acc[cand] = 0.0  # reset only touched entries
+        touched[cand] = False
+        return list(zip(d.tolist(), s.tolist()))
+
+
 def taat_topk(reader: IndexReader, query: str, k: int = 10
               ) -> list[tuple[int, float]]:
-    terms = _query_terms(query)
-    acc = np.zeros(len(reader.doclens), dtype=np.float64)
-    touched = np.zeros(len(reader.doclens), dtype=bool)
-    for t in terms:
-        run = reader.postings(t)
-        if run is None:
-            continue
-        from ..index.codec import decode_run
-
-        doc_ids, tfs = decode_run(run)
-        w = term_weight(tfs, reader.doclens[doc_ids],
-                        idf(reader.n_docs, run.n_postings), reader.avgdl)
-        acc[doc_ids] += w
-        touched[doc_ids] = True
-    cand = np.flatnonzero(touched)
-    if len(cand) == 0:
-        return []
-    d, s = topk_from_scores(cand, acc[cand], k)
-    return list(zip(d.tolist(), s.tolist()))
+    return TaatSearcher(reader).topk(query, k)
 
 
 class BlockMaxWand:

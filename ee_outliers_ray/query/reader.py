@@ -40,22 +40,49 @@ class IndexReader:
                                 dtype=np.int32)
         self.doclens[doc_id] = dl
         self._cache: dict[str, EncodedRun | None] = {}
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._decoded_postings = 0
+        self.decoded_cache_limit = 50_000_000  # postings held decoded
 
     def postings(self, term: str) -> EncodedRun | None:
         """Fetch (and cache) the merged posting run for one term."""
         if term in self._cache:
             return self._cache[term]
         bucket = zlib.crc32(term.encode()) % self.num_buckets
-        paths = glob.glob(os.path.join(self.segments_dir, f"bucket={bucket}", "*.parquet"))
-        run = None
+        paths = glob.glob(os.path.join(self.segments_dir, f"bucket={bucket}",
+                                       "**", "*.parquet"), recursive=True)
+        rows = []
         for p in paths:
             t = pq.read_table(p, filters=[("term", "=", term)])
-            if t.num_rows:
-                row = t.to_pylist()[0]
-                run = _row_to_run(row)
-                break
+            rows.extend(t.to_pylist())
+        run = None
+        if rows:
+            # a hierarchical merge may leave one segment row per doc-range;
+            # concat them in first_doc order (doc-disjoint by construction)
+            rows.sort(key=lambda r: r["first_doc"])
+            from ..index.codec import concat_runs
+
+            run = concat_runs([_row_to_run(r) for r in rows])
         self._cache[term] = run
         return run
+
+    def postings_decoded(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decoded (doc_ids, tfs) with an LRU-ish cache — hot query terms
+        (stopwords) decode once per actor, not once per query."""
+        if term in self._decoded:
+            return self._decoded[term]
+        run = self.postings(term)
+        if run is None:
+            return None
+        from ..index.codec import decode_run
+
+        arrays = decode_run(run)
+        if self._decoded_postings + len(arrays[0]) > self.decoded_cache_limit:
+            self._decoded.clear()
+            self._decoded_postings = 0
+        self._decoded[term] = arrays
+        self._decoded_postings += len(arrays[0])
+        return arrays
 
     def df(self, term: str) -> int:
         run = self.postings(term)

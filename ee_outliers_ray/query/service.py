@@ -1,0 +1,48 @@
+"""Query service: a pool of Ray actors each holding an IndexReader
+(segments + doclens + stats loaded once per actor), answering BM25 top-k
+with block-max WAND.  This is the serving-path analogue of the
+reference's delegation of query evaluation to the ES cluster
+(/root/reference/app/helpers/es.py:110-141) — scatter queries over the
+pool, each actor evaluates independently against shared index storage."""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote
+class QueryActor:
+    """mode="taat": vectorized scorer (sandbox serving path);
+    mode="wand": block-max WAND (the 10^12-doc skip path — rank- and
+    score-identical to taat, pytest-verified)."""
+
+    def __init__(self, index_dir: str, mode: str = "taat"):
+        from .engine import BlockMaxWand, TaatSearcher
+        from .reader import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        self.engine = (TaatSearcher(self.reader) if mode == "taat"
+                       else BlockMaxWand(self.reader))
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        return self.engine.topk(query, k)
+
+    def topk_batch(self, queries: list[str], k: int = 10) -> list:
+        return [self.engine.topk(q, k) for q in queries]
+
+
+def query_pool(index_dir: str, n_actors: int, mode: str = "taat") -> list:
+    return [QueryActor.remote(index_dir, mode) for _ in range(n_actors)]
+
+
+def run_queries(pool: list, queries: list[str], k: int = 10,
+                chunk: int = 8) -> list:
+    """Scatter query chunks round-robin over the pool; gather in order."""
+    refs = []
+    for i in range(0, len(queries), chunk):
+        actor = pool[(i // chunk) % len(pool)]
+        refs.append(actor.topk_batch.remote(queries[i:i + chunk], k))
+    out = []
+    for r in ray.get(refs):
+        out.extend(r)
+    return out

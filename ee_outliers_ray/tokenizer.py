@@ -30,15 +30,90 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+# byte-class tables for the ASCII fast path
+_LOWER = np.arange(256, dtype=np.uint8)
+_LOWER[65:91] += 32
+_IS_TOK = np.zeros(256, dtype=bool)
+_IS_TOK[97:123] = True
+_IS_TOK[48:58] = True
+
+
+def _tokenize_chunk_ascii(chunk: pa.Array) -> pa.ListArray | None:
+    """Single-pass numpy tokenizer over the raw string buffer.
+
+    Valid only for all-ASCII chunks (the only non-ASCII codepoints that
+    lowercase INTO [a-z0-9] are oddities like U+212A KELVIN SIGN, which
+    the regex path handles); returns None when a non-ASCII byte is seen
+    and the caller falls back.  ~10x cheaper than lower+regex-split: one
+    table lookup, one boolean mask, reductions — all memory-speed.
+    """
+    off_buf = chunk.buffers()[1]
+    all_offsets = np.frombuffer(off_buf, dtype=np.int32)
+    offsets = all_offsets[chunk.offset: chunk.offset + len(chunk) + 1].astype(np.int64)
+    data_buf = chunk.buffers()[2]
+    if data_buf is None or len(offsets) < 2:
+        b = np.zeros(0, dtype=np.uint8)
+        offsets = np.zeros(len(chunk) + 1, dtype=np.int64)
+    else:
+        b = np.frombuffer(data_buf, dtype=np.uint8)[offsets[0]:offsets[-1]]
+    if len(b) and b.max() >= 128:
+        return None
+    base = offsets[0]
+    rel_off = offsets - base
+    lowered = _LOWER[b]
+    is_tok = _IS_TOK[lowered]
+
+    prev_not_tok = np.empty(len(b), dtype=bool)
+    if len(b):
+        prev_not_tok[0] = True
+        np.logical_not(is_tok[:-1], out=prev_not_tok[1:])
+    starts = is_tok & prev_not_tok
+    # force a token break at every document boundary
+    doc_bounds = rel_off[1:-1]
+    inb = doc_bounds[doc_bounds < len(b)]
+    starts[inb] |= is_tok[inb]
+    next_not_tok = np.empty(len(b), dtype=bool)
+    if len(b):
+        next_not_tok[-1] = True
+        np.logical_not(is_tok[1:], out=next_not_tok[:-1])
+    ends = is_tok & next_not_tok
+    inb_pos = inb[inb > 0]
+    ends[inb_pos - 1] |= is_tok[inb_pos - 1]
+
+    starts_idx = np.flatnonzero(starts)
+    ends_idx = np.flatnonzero(ends)
+    # doc-boundary forcing can desync starts/ends pairing only if a run
+    # crosses a boundary; both sides were forced, so pairing holds
+    lengths = ends_idx - starts_idx + 1
+    tok_offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    tok_offsets[1:] = np.cumsum(lengths)
+    values = lowered[is_tok]
+    flat = pa.StringArray.from_buffers(
+        len(lengths),
+        pa.py_buffer(tok_offsets.tobytes()),
+        pa.py_buffer(values.tobytes()))
+    toks_per_doc = np.searchsorted(starts_idx, rel_off[1:]) - \
+        np.searchsorted(starts_idx, rel_off[:-1])
+    list_offsets = np.zeros(len(toks_per_doc) + 1, dtype=np.int64)
+    np.cumsum(toks_per_doc, out=list_offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int64()), flat)
+
+
 def tokenize_column(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     """Vectorized tokenize of a string column -> list<string> column.
 
-    lower -> split on non-token runs -> per-token empty strings removed
-    (split leaves '' at the edges when the string starts/ends with a
-    separator).  Pure pyarrow.compute; no Python per-row loop.
+    ASCII chunks take the numpy byte-classification fast path; any chunk
+    with non-ASCII bytes falls back to lower -> regex-split (identical
+    results — property-tested against the plain-Python tokenizer).
     """
     if isinstance(col, (pa.Array, pa.ChunkedArray)) and col.null_count:
         col = pc.fill_null(col, "")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and pa.types.is_string(col.type):
+        fast = _tokenize_chunk_ascii(col)
+        if fast is not None:
+            return fast
     lowered = pc.utf8_lower(col)
     split = pc.split_pattern_regex(lowered, _SPLIT_PATTERN)
     if isinstance(split, pa.ChunkedArray):
