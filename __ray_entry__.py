@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_length_outliers": P.metrics_length_outliers,
         "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
         "sudden_appearance": P.sudden_appearance_events,
+        "simplequery_filter": P.simplequery_filter,
+        "phrase_search": P.phrase_search,
+        "word2vec_outliers": P.word2vec_outliers,
+        "enrichment": P.enrichment_snapshot,
+        "whitelist_housekeeping": P.whitelist_housekeeping,
         # --- dedup ---
         "dedup_exact": P.dedup_exact,
         "dedup_minhash": P.dedup_minhash,
@@ -232,6 +237,13 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN s USING (event_type)
             WHERE m.metric > s.frontier""",
         "sudden_appearance": _sudden_appearance_sql(),
+        "simplequery_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type = 'error' AND props IS NOT NULL""",
+        "phrase_search": r"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(lower(text),
+                '(^|[^a-z0-9])spark merge([^a-z0-9]|$)')""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups

@@ -1,0 +1,184 @@
+"""Outlier enrichment as derived-dataset columns (never in-place).
+
+Mirrors the reference's document mutation semantics on Arrow columns:
+
+- ``add_outlier_to_document`` (/root/reference/app/helpers/es.py:590-617):
+  ``outliers`` is a dict of parallel ARRAYS (type[], reason[], summary[],
+  model_name[], model_type[]) plus ``total_outliers``; a second outlier on
+  the same doc extends the arrays (skipped if its summary is already
+  present) and bumps the counter; ``tags`` gains "outlier" once
+  (es.py:635-646).
+- summaries are hard-wrapped at 150 chars
+  (/root/reference/app/helpers/outlier.py:14-15).
+- ``remove_outliers_from_document`` (es.py:620-632) -> drop the struct +
+  tag (S6 ``remove_all_outliers``, es.py:358-386).
+- ``remove_all_whitelisted_outliers`` (es.py:274-356): re-check every
+  outlier entry of tagged docs against the whitelist; rewrite docs whose
+  entries thin out; untag docs with none left (S7, the housekeeping job
+  as a pure batch pass).
+
+The sink is a new Parquet snapshot (``write_parquet``) — per-partition
+atomic files replace the reference's bulk-update retries (S5).
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import numpy as np
+import pyarrow as pa
+
+from .models.whitelist import Whitelist
+
+OUTLIER_STRUCT = pa.struct([
+    ("type", pa.list_(pa.string())),
+    ("reason", pa.list_(pa.string())),
+    ("summary", pa.list_(pa.string())),
+    ("model_name", pa.list_(pa.string())),
+    ("model_type", pa.list_(pa.string())),
+    ("total_outliers", pa.int32()),
+])
+
+
+def wrap_summary(s: str) -> str:
+    return textwrap.fill(s, width=150)
+
+
+def _merge_entry(cur: dict | None, entry: dict) -> dict:
+    if cur is None:
+        return {
+            "type": [entry["type"]], "reason": [entry["reason"]],
+            "summary": [entry["summary"]],
+            "model_name": [entry["model_name"]],
+            "model_type": [entry["model_type"]],
+            "total_outliers": 1,
+        }
+    if entry["summary"] in cur["summary"]:
+        return cur
+    out = {k: list(cur[k]) for k in
+           ("type", "reason", "summary", "model_name", "model_type")}
+    for k in out:
+        out[k].append(entry[k])
+    out["total_outliers"] = cur["total_outliers"] + 1
+    return out
+
+
+def apply_outliers(ds, outlier_entries: dict[int, list[dict]],
+                   id_col: str = "doc_id", tags_col: str = "tags",
+                   outliers_col: str = "outliers"):
+    """Derive an enriched dataset: docs in ``outlier_entries`` gain the
+    outliers struct + the "outlier" tag; existing enrichment merges.
+
+    ``outlier_entries``: doc_id -> list of {type, reason, summary,
+    model_name, model_type} (summaries pre-template-substituted; wrapped
+    here).  Broadcast via ray.put (small side: outliers are sparse).
+    """
+    import ray
+
+    wrapped = {
+        d: [dict(e, summary=wrap_summary(e["summary"])) for e in entries]
+        for d, entries in outlier_entries.items()
+    }
+    ref = ray.put(wrapped)
+
+    def f(b: pa.Table) -> pa.Table:
+        store = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        cur_outliers = (b[outliers_col].to_pylist()
+                        if outliers_col in b.column_names else [None] * len(ids))
+        cur_tags = (b[tags_col].to_pylist()
+                    if tags_col in b.column_names else [None] * len(ids))
+        new_outliers = []
+        new_tags = []
+        for i, d in enumerate(ids):
+            cur = cur_outliers[i]
+            entries = store.get(int(d))
+            if entries:
+                for e in entries:
+                    cur = _merge_entry(cur, e)
+            new_outliers.append(cur)
+            tags = list(cur_tags[i] or [])
+            if cur is not None and "outlier" not in tags:
+                tags.append("outlier")
+            new_tags.append(tags)
+        cols = {n: b[n] for n in b.column_names
+                if n not in (tags_col, outliers_col)}
+        cols[tags_col] = pa.array(new_tags, type=pa.list_(pa.string()))
+        cols[outliers_col] = pa.array(new_outliers, type=OUTLIER_STRUCT)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def remove_all_outliers(ds, tags_col: str = "tags",
+                        outliers_col: str = "outliers"):
+    """S6: project away the enrichment; strip the tag (es.py:358-386)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in b.column_names if n != outliers_col}
+        if tags_col in cols:
+            tags = [[t for t in (row or []) if t != "outlier"]
+                    for row in b[tags_col].to_pylist()]
+            cols[tags_col] = pa.array(tags, type=pa.list_(pa.string()))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def remove_whitelisted_outliers(ds, whitelist: Whitelist,
+                                tags_col: str = "tags",
+                                outliers_col: str = "outliers"):
+    """S7 housekeeping: for each tagged doc re-check every outlier entry
+    against the whitelist (values set = doc's stringified values + the
+    entry's own fields, mirroring Outlier.is_whitelisted_doc); drop
+    whitelisted entries, untag docs left with none (es.py:274-356)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        if outliers_col not in b.column_names:
+            return b
+        outliers = b[outliers_col].to_pylist()
+        tags = b[tags_col].to_pylist() if tags_col in b.column_names \
+            else [None] * b.num_rows
+        other_cols = [n for n in b.column_names
+                      if n not in (tags_col, outliers_col)]
+        rows_values = None
+        new_outliers, new_tags = [], []
+        for i, cur in enumerate(outliers):
+            if cur is None or not cur.get("summary"):
+                new_outliers.append(cur)
+                new_tags.append(tags[i])
+                continue
+            if rows_values is None:
+                rows_values = [
+                    {str(b[n][j].as_py()).strip() for n in other_cols}
+                    for j in range(b.num_rows)
+                ]
+            keep_idx = []
+            for k in range(len(cur["summary"])):
+                values = set(rows_values[i]) | {
+                    cur["type"][k], cur["reason"][k], cur["summary"][k],
+                    cur["model_name"][k], cur["model_type"][k]}
+                if not whitelist.matches(values):
+                    keep_idx.append(k)
+            if len(keep_idx) == len(cur["summary"]):
+                new_outliers.append(cur)
+                new_tags.append(tags[i])
+            elif keep_idx:
+                kept = {key: [cur[key][k] for k in keep_idx]
+                        for key in ("type", "reason", "summary",
+                                    "model_name", "model_type")}
+                kept["total_outliers"] = len(keep_idx)
+                new_outliers.append(kept)
+                new_tags.append(tags[i])
+            else:
+                new_outliers.append(None)
+                new_tags.append([t for t in (tags[i] or [])
+                                 if t != "outlier"])
+        cols = {n: b[n] for n in other_cols}
+        cols[tags_col] = pa.array(
+            [t if t is not None else [] for t in new_tags],
+            type=pa.list_(pa.string()))
+        cols[outliers_col] = pa.array(new_outliers, type=OUTLIER_STRUCT)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,197 @@
+"""Config-driven pipeline frontend: ini use-case files compile to Ray
+Data model plans (the reference's AnalyzerFactory surface,
+/root/reference/app/helpers/analyzerfactory.py:12-90).
+
+- section prefix -> model type (CLASS_MAPPING, analyzerfactory.py:12-18);
+  model_name = section name minus "<prefix>_";
+- per-model parameters fall back to the matching section of the global
+  config (analyzer.py:283-309 extract_parameter chain);
+- ``[whitelist_literals]`` / ``[whitelist_regexps]`` sections attach to
+  every model in the file (analyzerfactory.py:75-84, comma-split into
+  literal sets / regexp lists);
+- ``{field}`` placeholders in outlier_summary/reason are substituted per
+  row (utils.py:233-262);
+- the plugin registry is open: ``register_model`` adds a new prefix ->
+  planner, mirroring the reference's subclass-Analyzer extension point
+  (analyzer.py:274-281).
+"""
+
+from __future__ import annotations
+
+import configparser
+import datetime as dt
+import glob as globlib
+from dataclasses import dataclass, field
+
+from .whitelist import Whitelist
+
+MODEL_PREFIXES = ["simplequery", "metrics", "terms", "sudden_appearance",
+                  "word2vec"]
+
+
+@dataclass
+class ModelConfig:
+    model_type: str
+    model_name: str
+    params: dict
+    whitelist: Whitelist = field(default_factory=Whitelist)
+    defaults: dict = field(default_factory=dict)
+
+    def get(self, name, default=None, cast=None):
+        v = self.params.get(name)
+        if v is None:
+            v = self.defaults.get(self.model_type, {}).get(name)
+        if v is None:
+            return default
+        if cast is not None:
+            if cast is bool:
+                return str(v).strip() in ("1", "true", "True", "yes")
+            return cast(v)
+        return v
+
+
+def load_use_cases(path_or_glob: str, defaults: dict | None = None
+                   ) -> list[ModelConfig]:
+    """Parse one or many ini use-case files into ModelConfigs."""
+    paths = sorted(globlib.glob(path_or_glob)) if any(
+        c in path_or_glob for c in "*?[") else [path_or_glob]
+    out: list[ModelConfig] = []
+    for path in paths:
+        cp = configparser.RawConfigParser()
+        cp.read(path)
+        wl = Whitelist.from_config(
+            literal_entries=[v for _, v in cp.items("whitelist_literals")]
+            if cp.has_section("whitelist_literals") else [],
+            regexp_entries=[v for _, v in cp.items("whitelist_regexps")]
+            if cp.has_section("whitelist_regexps") else [],
+        )
+        for section in cp.sections():
+            for prefix in MODEL_PREFIXES:
+                if section.startswith(prefix + "_"):
+                    out.append(ModelConfig(
+                        model_type=prefix,
+                        model_name=section[len(prefix) + 1:],
+                        params=dict(cp.items(section)),
+                        whitelist=wl,
+                        defaults=defaults or {},
+                    ))
+                    break
+    return out
+
+
+def _fields_list(v: str) -> list[str]:
+    return [x.strip() for x in v.split(",")] if v else []
+
+
+def run_model(cfg: ModelConfig, ds, *, reader=None, ts_col: str = "ts"):
+    """Compile and run one use-case config against a Dataset.
+
+    Returns the model's outlier Dataset (rows + aggregator/target/... as
+    produced by the underlying model pipeline).  ``reader`` supplies the
+    inverted index for full-text es_query_filter clauses.
+    """
+    planner = _REGISTRY.get(cfg.model_type)
+    if planner is None:
+        raise ValueError(f"unknown model type {cfg.model_type}")
+    return planner(cfg, ds, reader=reader, ts_col=ts_col)
+
+
+def _plan_simplequery(cfg, ds, *, reader=None, ts_col="ts"):
+    from ..query.parse import filter_by_query_string
+
+    q = cfg.get("es_query_filter", "")
+    out = filter_by_query_string(ds, q, reader=reader,
+                                 default_operator="and")
+    import pyarrow as pa
+
+    name, mtype = cfg.model_name, cfg.model_type
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.append_column("model_name", pa.array([name] * b.num_rows))
+        return b.append_column("model_type", pa.array([mtype] * b.num_rows))
+
+    return out.map_batches(tag, batch_format="pyarrow")
+
+
+def _plan_terms(cfg, ds, *, reader=None, ts_col="ts"):
+    from .terms import terms_model
+
+    return terms_model(
+        ds,
+        _fields_list(cfg.get("aggregator")),
+        _fields_list(cfg.get("target")),
+        target_count_method=cfg.get("target_count_method", "within_aggregator"),
+        trigger_method=cfg.get("trigger_method"),
+        trigger_sensitivity=cfg.get("trigger_sensitivity", cast=float),
+        trigger_on=cfg.get("trigger_on"),
+        min_target_buckets=cfg.get("min_target_buckets", cast=int),
+        whitelist=cfg.whitelist,
+    )
+
+
+def _plan_metrics(cfg, ds, *, reader=None, ts_col="ts"):
+    from .metrics import metrics_model
+
+    return metrics_model(
+        ds,
+        _fields_list(cfg.get("aggregator")),
+        cfg.get("target"),
+        metric=cfg.get("metric"),
+        trigger_method=cfg.get("trigger_method"),
+        trigger_sensitivity=cfg.get("trigger_sensitivity", cast=float),
+        trigger_on=cfg.get("trigger_on"),
+        whitelist=cfg.whitelist,
+    )
+
+
+def _parse_window(v: str) -> dt.timedelta:
+    days, hours, minutes = map(int, v.split(":"))
+    return dt.timedelta(days=days, hours=hours, minutes=minutes)
+
+
+def _plan_sudden_appearance(cfg, ds, *, reader=None, ts_col="ts"):
+    from .sudden_appearance import sudden_appearance_model
+
+    end = dt.datetime.fromisoformat(cfg.get("history_end"))
+    start = end - dt.timedelta(
+        days=cfg.get("history_window_days", 30, cast=int),
+        hours=cfg.get("history_window_hours", 0, cast=int))
+    return sudden_appearance_model(
+        ds,
+        _fields_list(cfg.get("aggregator")),
+        _fields_list(cfg.get("target")),
+        ts_col=ts_col,
+        history_start=start, history_end=end,
+        slide=_parse_window(cfg.get("sliding_window_size")),
+        step=_parse_window(cfg.get("sliding_window_step_size")),
+    )
+
+
+def _plan_word2vec(cfg, ds, *, reader=None, ts_col="ts"):
+    from .word2vec import word2vec_model
+
+    return word2vec_model(
+        ds,
+        _fields_list(cfg.get("aggregator")),
+        _fields_list(cfg.get("target")),
+        trigger_method=cfg.get("trigger_method", "stdev"),
+        trigger_sensitivity=cfg.get("trigger_sensitivity", 1.0, cast=float),
+        trigger_on=cfg.get("trigger_on", "low"),
+        seed=cfg.get("seed", 42, cast=int),
+    )
+
+
+_REGISTRY = {
+    "simplequery": _plan_simplequery,
+    "terms": _plan_terms,
+    "metrics": _plan_metrics,
+    "sudden_appearance": _plan_sudden_appearance,
+    "word2vec": _plan_word2vec,
+}
+
+
+def register_model(prefix: str, planner) -> None:
+    """Plugin registry (reference CLASS_MAPPING extension point)."""
+    _REGISTRY[prefix] = planner
+    if prefix not in MODEL_PREFIXES:
+        MODEL_PREFIXES.append(prefix)

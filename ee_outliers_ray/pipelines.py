@@ -473,6 +473,94 @@ def fingerprints(sf_dir: str):
     return fingerprint(read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def simplequery_filter(sf_dir: str):
+    """simplequery via the query-string parser (Q1/Q2 surface): events
+    matching ``event_type:error AND _exists_:props``."""
+    from .query.parse import filter_by_query_string
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    out = filter_by_query_string(ds, "event_type:error AND _exists_:props",
+                                 text_col="props", default_operator="and")
+    return out.select_columns(["event_id", "event_type"])
+
+
+def phrase_search(sf_dir: str, phrase: str = "spark merge"):
+    """Phrase query over documents: posting intersection + adjacency
+    verify (Q1 phrase surface)."""
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, f'"{phrase}"', reader=reader)
+    return out.select_columns(["doc_id"])
+
+
+def word2vec_outliers(sf_dir: str, limit: int = 200):
+    """word2vec model over a deterministic slice of documents (rows-only:
+    iterative model training is not SQL-expressible)."""
+    from .models.word2vec import word2vec_model
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .sort("doc_id").limit(limit)
+    out = word2vec_model(ds, "lang", "text", trigger_method="stdev",
+                         trigger_sensitivity=1.5, trigger_on="low")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "w2v_score": pd.Series(dtype=np.float64)})
+    return df[["doc_id", "w2v_score"]]
+
+
+def enrichment_snapshot(sf_dir: str):
+    """Enrichment pipeline (S5 semantics): flag docs via the terms model,
+    merge outlier arrays + tag, return enriched rows (rows-only)."""
+    from .enrich import apply_outliers
+
+    flagged = terms_within_median(sf_dir)
+    entries: dict[int, list[dict]] = {}
+    for _, r in flagged.iterrows():
+        entries.setdefault(int(r["event_id"]), []).append({
+            "type": "rare", "reason": "rarely seen target",
+            "summary": f"rare {r['target']} in {r['aggregator']}",
+            "model_name": "rare_users", "model_type": "terms"})
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    out = apply_outliers(ds, entries, id_col="event_id")
+    df = out.to_pandas()
+    df = df[df["outliers"].notna()]
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype(np.int64),
+        "total_outliers": [o["total_outliers"] for o in df["outliers"]],
+        "tags": ["|".join(t) for t in df["tags"]],
+    })
+
+
+def whitelist_housekeeping(sf_dir: str):
+    """S7 housekeeping pass: enrich then strip whitelisted outliers
+    (rows-only)."""
+    from .enrich import apply_outliers, remove_whitelisted_outliers
+    from .models.whitelist import Whitelist
+
+    flagged = terms_within_median(sf_dir).head(50)
+    entries = {
+        int(r["event_id"]): [{
+            "type": "rare", "reason": "rarely seen target",
+            "summary": f"rare {r['target']} in {r['aggregator']}",
+            "model_name": "rare_users", "model_type": "terms"}]
+        for _, r in flagged.iterrows()
+    }
+    wl = Whitelist.from_config(regexp_entries=[r"^rare .* in error$"])
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    out = remove_whitelisted_outliers(apply_outliers(ds, entries,
+                                                     id_col="event_id"), wl)
+    df = out.to_pandas()
+    df = df[df["outliers"].notna()]
+    return pd.DataFrame({
+        "event_id": df["event_id"].astype(np.int64),
+        "total_outliers": [o["total_outliers"] for o in df["outliers"]],
+    })
+
+
 def media_features(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
     table (payload columns are not part of the driver testdata)."""

@@ -1,0 +1,298 @@
+"""Lucene-style ``query_string`` parser + Ray-Data evaluation.
+
+The reference wraps user query strings as ES ``query_string`` filters
+(/root/reference/app/helpers/es.py:238-250; example surface in
+/root/reference/use_cases/examples/terms_rarely_seen_outbound_connections.conf:5:
+``tags:endpoint AND meta.command.name:"get_outbound_conns" AND
+-OsqueryFilter.remote_port.keyword:0``).  This module owns that surface:
+
+grammar   or_expr   := and_expr (OR and_expr)*
+          and_expr  := unary ((AND)? unary)*      # bare juxtaposition uses
+                                                  # default_operator (OR,
+                                                  # Lucene's default)
+          unary     := '-' unary | NOT unary | '(' or_expr ')' | clause
+          clause    := '_exists_' ':' name | name ':' value
+                       | '"' phrase '"' | term
+
+Evaluation is a per-batch boolean mask (``Node.mask``): full-text terms
+resolve through the inverted index (sorted doc_id membership via
+searchsorted — a broadcast semi-join, no shuffle), phrases intersect
+term postings and verify adjacency against the batch's own text column,
+field clauses are vectorized Arrow comparisons, and the boolean
+operators combine masks.  ``filter_by_query_string`` applies the mask as
+a streaming ``map_batches`` filter.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tokenizer import tokenize, tokenize_column
+
+_TOKEN_SPLIT = re.compile(
+    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|[^\s():]+:(?:"[^"]*"|[^\s()]+)|[^\s()]+)""")
+
+
+@dataclass
+class EvalCtx:
+    reader: object | None = None   # IndexReader for full-text clauses
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+class Node:
+    def mask(self, batch: pa.Table, ctx: EvalCtx) -> np.ndarray:
+        raise NotImplementedError
+
+    def terms(self) -> list[str]:
+        return []
+
+
+@dataclass
+class Term(Node):
+    text: str
+
+    def mask(self, batch, ctx):
+        toks = tokenize(self.text)
+        if ctx.reader is not None and ctx.id_col in batch.column_names:
+            ids = None
+            for t in toks:
+                dec = ctx.reader.postings_decoded(t)
+                d = dec[0] if dec is not None else np.array([], dtype=np.int64)
+                ids = d if ids is None else np.intersect1d(ids, d)
+            if ids is None:
+                ids = np.array([], dtype=np.int64)
+            doc_ids = batch[ctx.id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ids, doc_ids)
+            pos = np.minimum(pos, max(0, len(ids) - 1))
+            return (ids[pos] == doc_ids) if len(ids) else \
+                np.zeros(len(doc_ids), dtype=bool)
+        # no index: scan the text column
+        col = tokenize_column(batch[ctx.text_col])
+        out = np.ones(batch.num_rows, dtype=bool)
+        for t in toks:
+            # vectorized containment: flatten + per-row hit count
+            flat = col.flatten()
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            per_row = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+            per_row[offsets[:-1] == offsets[1:]] = 0
+            out &= per_row[: batch.num_rows] > 0
+        return out
+
+    def terms(self):
+        return tokenize(self.text)
+
+
+@dataclass
+class Phrase(Node):
+    text: str
+
+    def mask(self, batch, ctx):
+        toks = tokenize(self.text)
+        if not toks:
+            return np.ones(batch.num_rows, dtype=bool)
+        cand = Term(" ".join(toks)).mask(batch, ctx)
+        if not cand.any():
+            return cand
+        # verify adjacency against the batch's own text
+        texts = batch[ctx.text_col].to_pylist()
+        out = np.zeros(batch.num_rows, dtype=bool)
+        for i in np.flatnonzero(cand):
+            dt = tokenize(texts[i])
+            out[i] = any(dt[j: j + len(toks)] == toks
+                         for j in range(len(dt) - len(toks) + 1))
+        return out
+
+    def terms(self):
+        return tokenize(self.text)
+
+
+@dataclass
+class FieldMatch(Node):
+    field: str
+    value: str
+
+    def mask(self, batch, ctx):
+        if self.field not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        col = batch[self.field]
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = pc.cast(col.flatten(), pa.string())
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            hit = pc.equal(flat, self.value).to_numpy(zero_copy_only=False)
+            per_row = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+            per_row[offsets[:-1] == offsets[1:]] = 0
+            return per_row[: batch.num_rows] > 0
+        s = pc.cast(col, pa.string())
+        m = pc.equal(s, self.value)
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
+@dataclass
+class Exists(Node):
+    field: str
+
+    def mask(self, batch, ctx):
+        if self.field not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        return pc.is_valid(batch[self.field]).to_numpy(zero_copy_only=False)
+
+
+@dataclass
+class Not(Node):
+    child: Node
+
+    def mask(self, batch, ctx):
+        return ~self.child.mask(batch, ctx)
+
+    def terms(self):
+        return []
+
+
+@dataclass
+class And(Node):
+    children: list
+
+    def mask(self, batch, ctx):
+        out = None
+        for c in self.children:
+            m = c.mask(batch, ctx)
+            out = m if out is None else out & m
+        return out
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+
+@dataclass
+class Or(Node):
+    children: list
+
+    def mask(self, batch, ctx):
+        out = None
+        for c in self.children:
+            m = c.mask(batch, ctx)
+            out = m if out is None else out | m
+        return out
+
+    def terms(self):
+        return [t for c in self.children for t in c.terms()]
+
+
+def _lex(q: str) -> list[str]:
+    return [m.group(1) for m in _TOKEN_SPLIT.finditer(q)]
+
+
+class _Parser:
+    def __init__(self, tokens: list[str], default_operator: str):
+        self.toks = tokens
+        self.i = 0
+        self.default_op = default_operator
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse_or(self) -> Node:
+        children = [self.parse_and()]
+        while self.peek() == "OR":
+            self.next()
+            children.append(self.parse_and())
+        return children[0] if len(children) == 1 else Or(children)
+
+    def parse_and(self) -> Node:
+        children = [self.parse_unary()]
+        while True:
+            t = self.peek()
+            if t == "AND":
+                self.next()
+                children.append(self.parse_unary())
+            elif t is not None and t not in (")", "OR"):
+                if self.default_op == "and":
+                    children.append(self.parse_unary())
+                else:
+                    break
+            else:
+                break
+        if len(children) == 1:
+            return children[0]
+        return And(children)
+
+    def parse_unary(self) -> Node:
+        t = self.peek()
+        if t in ("-", "NOT"):
+            self.next()
+            return Not(self.parse_unary())
+        if t == "(":
+            self.next()
+            node = self.parse_or()
+            if self.peek() == ")":
+                self.next()
+            return node
+        return self.parse_clause()
+
+    def parse_clause(self) -> Node:
+        t = self.next()
+        if t is None:
+            return And([])
+        if t.startswith('"') and t.endswith('"'):
+            return Phrase(t[1:-1])
+        if ":" in t:
+            field, _, value = t.partition(":")
+            if value.startswith('"') and value.endswith('"'):
+                value = value[1:-1]
+            if field == "_exists_":
+                return Exists(value)
+            return FieldMatch(field, value)
+        return Term(t)
+
+
+def parse_query_string(q: str, default_operator: str = "or") -> Node:
+    """Parse a Lucene-style query string into an AST.
+
+    ``default_operator``: how bare juxtaposed clauses combine ("or" is
+    Lucene's query_string default).
+    """
+    toks = _lex(q)
+    p = _Parser(toks, default_operator)
+    node = p.parse_or()
+    # implicit OR at the top level when multiple clauses remain (the
+    # parser consumed greedy with default op; leftover only on malformed
+    # input like stray ')')
+    rest = []
+    while p.peek() is not None:
+        if p.peek() == ")":
+            p.next()
+            continue
+        rest.append(p.parse_or())
+    if rest:
+        combine = And if default_operator == "and" else Or
+        node = combine([node] + rest)
+    return node
+
+
+def filter_by_query_string(ds, query: str, *, reader=None,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           default_operator: str = "or"):
+    """Q1 as a pure filter: streaming map_batches mask over the corpus."""
+    ast = parse_query_string(query, default_operator)
+    ctx = EvalCtx(reader=reader, text_col=text_col, id_col=id_col)
+
+    def f(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(ast.mask(b, ctx)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

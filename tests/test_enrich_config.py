@@ -1,0 +1,177 @@
+import textwrap
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ee_outliers_ray.enrich import (
+    apply_outliers,
+    remove_all_outliers,
+    remove_whitelisted_outliers,
+    wrap_summary,
+)
+from ee_outliers_ray.models.config import load_use_cases, run_model
+from ee_outliers_ray.models.whitelist import Whitelist
+
+
+def _docs():
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a", "b", "c"],
+    }))
+
+
+def _entry(summary, model="m1", typ="t", reason="r"):
+    return {"type": typ, "reason": reason, "summary": summary,
+            "model_name": model, "model_type": "terms"}
+
+
+def test_apply_outliers_basic():
+    out = apply_outliers(_docs(), {1: [_entry("sus doc")]}).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["outliers"][0] is None and list(out["tags"][0]) == []
+    o = out["outliers"][1]
+    assert list(o["summary"]) == ["sus doc"] and o["total_outliers"] == 1
+    assert list(out["tags"][1]) == ["outlier"]
+
+
+def test_apply_outliers_merge_and_dedup():
+    ds = apply_outliers(_docs(), {1: [_entry("first"), _entry("second", "m2")]})
+    ds = apply_outliers(ds, {1: [_entry("first")]})  # dup summary ignored
+    out = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = out["outliers"][1]
+    assert list(o["summary"]) == ["first", "second"]
+    assert list(o["model_name"]) == ["m1", "m2"]
+    assert o["total_outliers"] == 2
+    assert list(out["tags"][1]) == ["outlier"]  # tag added once
+
+
+def test_summary_wrap_150():
+    long = "word " * 60
+    assert wrap_summary(long) == textwrap.fill(long, width=150)
+
+
+def test_remove_all_outliers():
+    ds = apply_outliers(_docs(), {0: [_entry("x")]})
+    out = remove_all_outliers(ds).to_pandas().sort_values("doc_id")
+    assert "outliers" not in out.columns
+    assert all("outlier" not in list(t) for t in out["tags"])
+
+
+def test_remove_whitelisted_outliers():
+    ds = apply_outliers(_docs(), {
+        0: [_entry("benign thing"), _entry("bad thing")],
+        1: [_entry("benign thing")],
+    })
+    wl = Whitelist.from_config(literal_entries=["benign thing"])
+    out = remove_whitelisted_outliers(ds, wl).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert list(out["outliers"][0]["summary"]) == ["bad thing"]
+    assert out["outliers"][0]["total_outliers"] == 1
+    assert out["outliers"][1] is None
+    assert "outlier" not in list(out["tags"][1])
+    assert "outlier" in list(out["tags"][0])
+
+
+USE_CASE = """
+[terms_rare_users]
+es_query_filter=*
+aggregator=event_type
+target=user_id
+target_count_method=within_aggregator
+trigger_on=low
+trigger_method=pct_of_median_value
+trigger_sensitivity=50
+run_model=1
+
+[metrics_props_len]
+aggregator=event_type
+target=props
+metric=length
+trigger_method=stdev
+trigger_sensitivity=1
+trigger_on=high
+
+[whitelist_literals]
+w1=benign, pair
+
+[whitelist_regexps]
+r1=^ok-.*$
+"""
+
+
+def test_load_use_cases(tmp_path):
+    p = tmp_path / "uc.conf"
+    p.write_text(USE_CASE)
+    cfgs = load_use_cases(str(p))
+    assert [c.model_type for c in cfgs] == ["terms", "metrics"]
+    assert cfgs[0].model_name == "rare_users"
+    assert cfgs[0].get("trigger_sensitivity", cast=float) == 50.0
+    assert len(cfgs[0].whitelist.literals) == 1
+    assert cfgs[0].whitelist.literals[0] == frozenset({"benign", "pair"})
+    assert len(cfgs[0].whitelist.regexps) == 1
+
+
+def test_run_model_from_config(tmp_path):
+    p = tmp_path / "uc.conf"
+    p.write_text(USE_CASE)
+    cfgs = load_use_cases(str(p))
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out = run_model(cfgs[0], events).to_pandas()
+    # matches the direct pipeline invocation
+    from ee_outliers_ray.pipelines import terms_within_median
+
+    direct = terms_within_median("/root/testdata/sf0.001")
+    assert sorted(out["event_id"]) == sorted(direct["event_id"])
+
+
+def test_run_model_defaults_fallback(tmp_path):
+    p = tmp_path / "uc.conf"
+    p.write_text("[terms_t]\naggregator=a\ntarget=b\n"
+                 "target_count_method=within_aggregator\ntrigger_on=low\n")
+    cfgs = load_use_cases(str(p), defaults={
+        "terms": {"trigger_method": "float", "trigger_sensitivity": "2"}})
+    assert cfgs[0].get("trigger_method") == "float"
+    assert cfgs[0].get("trigger_sensitivity", cast=float) == 2.0
+
+
+def test_word2vec_model_runs():
+    import numpy as np
+
+    rows = []
+    normal = ["open file read", "open file write", "read file close",
+              "open read close"]
+    for i in range(20):
+        rows.append({"doc_id": i, "agg": "A", "cmd": normal[i % len(normal)]})
+    rows.append({"doc_id": 99, "agg": "A", "cmd": "zz qq xx yy ww vv"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    from ee_outliers_ray.models.word2vec import word2vec_model
+
+    out = word2vec_model(ds, "agg", "cmd", trigger_method="stdev",
+                         trigger_sensitivity=1, trigger_on="low").to_pandas()
+    # deterministic across runs
+    out2 = word2vec_model(ds, "agg", "cmd", trigger_method="stdev",
+                          trigger_sensitivity=1, trigger_on="low").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # the gibberish sentence is the least probable and must be flagged
+    assert 99 in set(out["doc_id"])
+    assert out[out["doc_id"] == 99]["w2v_score"].iloc[0] == out["w2v_score"].min()
+
+
+def test_derived_fields_and_assets():
+    from ee_outliers_ray.derived import DerivedFields, extract_asset_information
+
+    b = pa.table({
+        "ts_str": ["2024-03-07T12:34:56+00:00", "not a date"],
+        "user": ["alice", None],
+        "host": ["web1", "web2"],
+    })
+    stage = DerivedFields({"ts_str": "%{YEAR:y}-%{MONTHNUM:mo}-%{MONTHDAY:d}[T ]%{HOUR:h}:?%{MINUTE:mi}"})
+    out = stage(b)
+    assert out["derived_y"][0].as_py() == "2024"
+    assert out["derived_mo"][0].as_py() == "03"
+    assert out["derived_y"][1].as_py() is None
+    out2 = extract_asset_information(b, {"user": "user", "host": "host"})
+    assert out2["assets"][0].as_py() == ["user: alice", "host: web1"]
+    assert out2["assets"][1].as_py() == ["host: web2"]

@@ -1,0 +1,122 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ee_outliers_ray.query.parse import (
+    And,
+    EvalCtx,
+    Exists,
+    FieldMatch,
+    Not,
+    Or,
+    Phrase,
+    Term,
+    filter_by_query_string,
+    parse_query_string,
+)
+
+
+def _batch():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["spark merge fast", "merge slow", "spark table", ""],
+        "lang": ["en", "fr", None, "en"],
+        "port": pa.array([0, 443, 80, 0], type=pa.int64()),
+        "tags": pa.array([["endpoint"], [], ["endpoint", "x"], None],
+                         type=pa.list_(pa.string())),
+    })
+
+
+CTX = EvalCtx(reader=None, text_col="text", id_col="doc_id")
+
+
+def test_parse_shapes():
+    ast = parse_query_string(
+        'tags:endpoint AND name:"get conns" AND -port:0', "and")
+    assert isinstance(ast, And)
+    kinds = [type(c) for c in ast.children]
+    assert kinds == [FieldMatch, FieldMatch, Not]
+    assert ast.children[1].value == "get conns"
+    ast2 = parse_query_string("_exists_:lang OR spark")
+    assert isinstance(ast2, Or)
+    assert isinstance(ast2.children[0], Exists)
+    assert isinstance(ast2.children[1], Term)
+    ast3 = parse_query_string('"spark merge"')
+    assert isinstance(ast3, Phrase)
+
+
+def test_term_mask_scan():
+    m = Term("spark").mask(_batch(), CTX)
+    assert list(m) == [True, False, True, False]
+    m = Term("spark merge").mask(_batch(), CTX)  # multi-token AND
+    assert list(m) == [True, False, False, False]
+
+
+def test_phrase_mask():
+    m = Phrase("spark merge").mask(_batch(), CTX)
+    assert list(m) == [True, False, False, False]
+    m = Phrase("merge spark").mask(_batch(), CTX)
+    assert list(m) == [False, False, False, False]
+
+
+def test_field_and_exists():
+    m = FieldMatch("lang", "en").mask(_batch(), CTX)
+    assert list(m) == [True, False, False, True]
+    m = FieldMatch("port", "0").mask(_batch(), CTX)  # stringified compare
+    assert list(m) == [True, False, False, True]
+    m = FieldMatch("tags", "endpoint").mask(_batch(), CTX)  # list column
+    assert list(m) == [True, False, True, False]
+    m = Exists("lang").mask(_batch(), CTX)
+    assert list(m) == [True, True, False, True]
+
+
+def test_bool_combination():
+    ast = parse_query_string("lang:en AND -port:0", "and")
+    m = ast.mask(_batch(), CTX)
+    assert list(m) == [False, False, False, False]
+    ast = parse_query_string("lang:en OR lang:fr")
+    assert list(ast.mask(_batch(), CTX)) == [True, True, False, True]
+    ast = parse_query_string("(lang:en OR lang:fr) AND spark", "and")
+    assert list(ast.mask(_batch(), CTX)) == [True, False, False, False]
+
+
+def test_reference_style_filter():
+    # surface from terms_rarely_seen_outbound_connections.conf:5
+    q = 'tags:endpoint AND -port:0'
+    ast = parse_query_string(q, "and")
+    assert list(ast.mask(_batch(), CTX)) == [False, False, True, False]
+
+
+def test_filter_by_query_string_ds():
+    ds = ray.data.from_arrow(_batch())
+    out = filter_by_query_string(ds, "lang:en AND spark",
+                                 default_operator="and").to_pandas()
+    assert sorted(out["doc_id"]) == [0]
+
+
+def test_index_backed_term(tmp_path):
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.reader import IndexReader
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["alpha beta", "beta gamma", "alpha", "delta", "", "beta"],
+    })
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=3)
+    reader = IndexReader(idx)
+    ds = ray.data.read_parquet(src)
+    out = filter_by_query_string(ds, "beta -gamma", reader=reader,
+                                 default_operator="and").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 5]
+
+
+def test_terms_collection():
+    ast = parse_query_string('spark AND "merge fast" AND lang:en', "and")
+    assert sorted(ast.terms()) == ["fast", "merge", "spark"]
