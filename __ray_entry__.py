@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_length_outliers": P.metrics_length_outliers,
         "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
         "sudden_appearance": P.sudden_appearance_events,
+        "count_events": P.count_events,
+        "latest_events": P.latest_events,
+        "dsl_filter": P.dsl_filter,
+        "matched_values_highlight": P.matched_values_highlight,
+        "hash_join_revenue": P.hash_join_revenue,
         "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
         "word2vec_outliers": P.word2vec_outliers,
@@ -237,6 +242,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN s USING (event_type)
             WHERE m.metric > s.frontier""",
         "sudden_appearance": _sudden_appearance_sql(),
+        "count_events": "SELECT count(*) AS n FROM events",
+        "latest_events": """
+            SELECT event_id, ts FROM events
+            ORDER BY ts DESC, event_id LIMIT 20""",
+        "dsl_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE value >= 5 AND value <= 10
+              AND event_type IN ('click', 'view')""",
+        "matched_values_highlight": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_filter(['merge', 'slow', 'spark'],
+                       x -> list_contains(toks, x)), '|') AS matched
+            FROM t
+            WHERE list_contains(toks, 'merge') OR list_contains(toks, 'slow')
+               OR list_contains(toks, 'spark')""",
+        "hash_join_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority""",
         "simplequery_filter": """
             SELECT event_id, event_type FROM events
             WHERE event_type = 'error' AND props IS NOT NULL""",

@@ -125,6 +125,88 @@ def match_ip_ranges(source_ip: str, cidrs: list[str]) -> bool:
     return any(ip in ip_network(c, strict=False) for c in cidrs)
 
 
+def flatten_dict(d: dict, parent_key: str = "", sep: str = ".") -> dict:
+    """Flatten nested dict to dotted keys (utils.py:28-44)."""
+    items = []
+    for k, v in d.items():
+        new_key = parent_key + sep + k if parent_key else k
+        if isinstance(v, dict):
+            items.extend(flatten_dict(v, new_key, sep=sep).items())
+        else:
+            items.append((new_key, v))
+    return dict(items)
+
+
+def get_dotkey_value(dict_value, key_name: str, case_sensitive: bool = True):
+    """Dotted-path nested get, optional case-insensitive match per level;
+    missing key raises KeyError (utils.py:47-76)."""
+    for k in key_name.split("."):
+        if not case_sensitive:
+            lowered = {str(dk).lower(): dk for dk in dict_value.keys()}
+            if k.lower() not in lowered:
+                raise KeyError(k)
+            dict_value = dict_value[lowered[k.lower()]]
+        else:
+            dict_value = dict_value[k]
+    return dict_value
+
+
+def struct_field_column(batch, dotted: str, case_sensitive: bool = True):
+    """Arrow-side dotted-path access: resolve each path element against
+    the schema (case-insensitivity resolved ONCE at plan/schema level,
+    not per row — SURVEY M1 mapping) and return the child array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = dotted.split(".")
+    top = parts[0]
+    names = batch.column_names if hasattr(batch, "column_names") else []
+    if not case_sensitive:
+        match = [n for n in names if n.lower() == top.lower()]
+        if not match:
+            raise KeyError(top)
+        top = match[0]
+    col = batch[top]
+    for p in parts[1:]:
+        typ = col.type
+        if not pa.types.is_struct(typ):
+            raise KeyError(p)
+        field_names = [typ.field(i).name for i in range(typ.num_fields)]
+        if not case_sensitive:
+            cand = [n for n in field_names if n.lower() == p.lower()]
+            if not cand:
+                raise KeyError(p)
+            p = cand[0]
+        elif p not in field_names:
+            raise KeyError(p)
+        col = pc.struct_field(col, p)
+    return col
+
+
+def flatten_struct_columns(ds):
+    """M2 at Dataset level: explode every struct column into dotted-name
+    scalar columns (schema flattening at ingest)."""
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        cols = {}
+
+        def add(name, col):
+            if pa.types.is_struct(col.type):
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                for i in range(arr.type.num_fields):
+                    child = arr.field(i)
+                    add(f"{name}.{arr.type.field(i).name}", child)
+            else:
+                cols[name] = col
+
+        for name in batch.column_names:
+            add(name, batch[name])
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def flatten_sentence(sentence) -> str | None:
     """list -> ' - '-joined string; nested list/dict -> None (utils.py:160-184)."""
     if sentence is None:

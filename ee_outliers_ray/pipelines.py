@@ -473,6 +473,81 @@ def fingerprints(sf_dir: str):
     return fingerprint(read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def count_events(sf_dir: str):
+    """S2 server-side count (metadata-only for unfiltered parquet)."""
+    n = read(sf_dir, "events", columns=["event_id"]).count()
+    return pd.DataFrame([{"n": n}])
+
+
+def latest_events(sf_dir: str, k: int = 20):
+    """Sort + limit (O1/O3 family): most recent k events."""
+    ds = read(sf_dir, "events", columns=["event_id", "ts"])
+    return ds.sort(["ts", "event_id"], descending=[True, False]).limit(k)
+
+
+def dsl_filter(sf_dir: str):
+    """Q2 structured DSL filter: bool(must=[range, terms])."""
+    from .query.dsl import filter_by_dsl
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = filter_by_dsl(ds, {"bool": {"must": [
+        {"range": {"value": {"gte": 5, "lte": 10}}},
+        {"terms": {"event_type": ["click", "view"]}},
+    ]}})
+    return out.select_columns(["event_id", "event_type"])
+
+
+def matched_values_highlight(sf_dir: str, query: str = "spark merge slow"):
+    """Q7 highlight: per matching doc, which query terms matched."""
+    from .query.dsl import add_matched_values
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, query, reader=reader)
+    out = add_matched_values(out, query)
+
+    def proj(b):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        joined = _pc.binary_join(b["matched_values"], "|")
+        return _pa.table({"doc_id": b["doc_id"], "matched": joined})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def hash_join_revenue(sf_dir: str):
+    """Large-large partitioned hash join (no broadcast): lineitem x
+    orders on the order key, revenue per order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import hash_join
+
+    li = read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(rename, batch_format="pyarrow")
+    joined = hash_join(li, orders, "l_orderkey", num_buckets=16)
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    out = joined.map_batches(add_rev, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("rev", alias_name="revenue"), Count(alias_name="n")) \
+        .to_pandas()
+    out["revenue"] = duck_round(out["revenue"], ROUND_MONEY)
+    return out
+
+
 def simplequery_filter(sf_dir: str):
     """simplequery via the query-string parser (Q1/Q2 surface): events
     matching ``event_type:error AND _exists_:props``."""

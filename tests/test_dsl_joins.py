@@ -1,0 +1,155 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from ee_outliers_ray.functions import (
+    flatten_dict,
+    get_dotkey_value,
+    struct_field_column,
+)
+from ee_outliers_ray.joins import anti_join, broadcast_join, hash_join, semi_join
+from ee_outliers_ray.query.dsl import add_matched_values, build_search, filter_by_dsl
+
+
+def _events():
+    return ray.data.from_pandas(pd.DataFrame({
+        "event_id": range(6),
+        "event_type": ["click", "view", "click", "error", None, "view"],
+        "value": [1.0, 7.5, 9.0, 20.0, 5.0, None],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                              "2024-01-04", "2024-01-05", "2024-01-06"]),
+    }))
+
+
+def test_dsl_term_terms_range_exists():
+    out = filter_by_dsl(_events(), {"term": {"event_type": "click"}}).to_pandas()
+    assert sorted(out["event_id"]) == [0, 2]
+    out = filter_by_dsl(_events(), {"terms": {"event_type": ["view", "error"]}}).to_pandas()
+    assert sorted(out["event_id"]) == [1, 3, 5]
+    out = filter_by_dsl(_events(), {"range": {"value": {"gte": 5, "lt": 10}}}).to_pandas()
+    assert sorted(out["event_id"]) == [1, 2, 4]
+    out = filter_by_dsl(_events(), {"exists": {"field": "value"}}).to_pandas()
+    assert sorted(out["event_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_dsl_bool_nesting():
+    dsl = {"bool": {
+        "must": [{"range": {"value": {"gte": 5}}}],
+        "should": [{"term": {"event_type": "click"}},
+                   {"term": {"event_type": "view"}}],
+        "must_not": [{"term": {"event_id": "1"}}],
+    }}
+    out = filter_by_dsl(_events(), dsl).to_pandas()
+    assert sorted(out["event_id"]) == [2]
+
+
+def test_dsl_range_timestamp():
+    out = filter_by_dsl(_events(), {"range": {"ts": {
+        "gte": "2024-01-03", "lte": "2024-01-05"}}}).to_pandas()
+    assert sorted(out["event_id"]) == [2, 3, 4]
+
+
+def test_dsl_list_is_conjunction():
+    out = filter_by_dsl(_events(), [
+        {"range": {"value": {"gte": 5}}},
+        {"term": {"event_type": "view"}},
+    ]).to_pandas()
+    assert sorted(out["event_id"]) == [1]
+
+
+def test_build_search_composition():
+    out = build_search(
+        _events(),
+        dsl={"exists": {"field": "value"}},
+        ts_col="ts", ts_range=("2024-01-01", "2024-01-04"),
+        columns=["event_id", "value"],
+        sort_by="value", descending=True, limit=2,
+    ).to_pandas()
+    assert list(out.columns) == ["event_id", "value"]
+    assert list(out["event_id"]) == [3, 2]
+
+
+def test_matched_values():
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1], "text": ["spark only here", "merge and spark"]}))
+    out = add_matched_values(ds, "spark merge").to_pandas().sort_values("doc_id")
+    assert list(out["matched_values"].iloc[0]) == ["spark"]
+    assert list(out["matched_values"].iloc[1]) == ["merge", "spark"]
+
+
+def test_broadcast_join():
+    small = pd.DataFrame({"event_type": ["click", "view"], "w": [1, 2]})
+    out = broadcast_join(_events(), small, "event_type").to_pandas()
+    assert sorted(out["event_id"]) == [0, 1, 2, 5]
+
+
+def test_hash_join_matches_pandas():
+    a = pd.DataFrame({"k": [1, 1, 2, 3, 5], "x": list("abcde")})
+    b = pd.DataFrame({"k": [1, 2, 2, 4], "y": [10, 20, 21, 40]})
+    got = hash_join(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                    "k", num_buckets=3).to_pandas()
+    want = a.merge(b, on="k")
+    key = lambda df: df.sort_values(["k", "x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got)[["k", "x", "y"]], key(want),
+                                  check_dtype=False)
+
+
+def test_hash_join_overlapping_columns():
+    a = pd.DataFrame({"k": [1, 2], "v": ["a1", "a2"]})
+    b = pd.DataFrame({"k": [1, 2], "v": ["b1", "b2"]})
+    got = hash_join(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                    "k").to_pandas().sort_values("k")
+    assert list(got.columns) == ["k", "v", "v_r"]
+    assert list(got["v"]) == ["a1", "a2"]
+    assert list(got["v_r"]) == ["b1", "b2"]
+
+
+def test_semi_anti_join():
+    out = semi_join(_events(), {0, 3}, "event_id").to_pandas()
+    assert sorted(out["event_id"]) == [0, 3]
+    out = anti_join(_events(), {0, 3}, "event_id").to_pandas()
+    assert sorted(out["event_id"]) == [1, 2, 4, 5]
+
+
+def test_notifier_dedup():
+    from ee_outliers_ray.notifier import NotifierActor, notify_outliers
+
+    n = NotifierActor.remote(max_cache_ignore=3)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "summary": ["a", "b", "a", "c", "b", "d"]}))
+    sent = notify_outliers(ds, n)
+    assert sent == 4  # a b c d; dups suppressed
+    drained = ray.get(n.drain.remote())
+    assert [d["summary"] for d in drained] == ["a", "b", "c", "d"]
+
+
+def test_dotkey_and_flatten():
+    d = {"OsqueryFilter": {"process_name": "x", "Nested": {"v": 1}}}
+    assert get_dotkey_value(d, "OsqueryFilter.process_name") == "x"
+    assert get_dotkey_value(d, "osqueryfilter.PROCESS_NAME",
+                            case_sensitive=False) == "x"
+    with pytest.raises(KeyError):
+        get_dotkey_value(d, "osqueryfilter.process_name")  # case sensitive
+    flat = flatten_dict(d)
+    assert flat == {"OsqueryFilter.process_name": "x",
+                    "OsqueryFilter.Nested.v": 1}
+
+
+def test_struct_field_column_and_flatten_ds():
+    from ee_outliers_ray.functions import flatten_struct_columns
+
+    t = pa.table({
+        "id": [1, 2],
+        "meta": pa.array([{"Host": "a", "deep": {"x": 1}},
+                          {"Host": "b", "deep": {"x": 2}}]),
+    })
+    col = struct_field_column(t, "meta.Host")
+    assert col.to_pylist() == ["a", "b"]
+    col = struct_field_column(t, "META.host", case_sensitive=False)
+    assert col.to_pylist() == ["a", "b"]
+    ds = ray.data.from_arrow(t)
+    flat = flatten_struct_columns(ds).to_pandas()
+    assert "meta.Host" in flat.columns and "meta.deep.x" in flat.columns
