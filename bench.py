@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
-BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "1024"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2048"))
 PIPELINES = os.environ.get("GRAFT_BENCH_PIPELINES", "1") == "1"
 
 

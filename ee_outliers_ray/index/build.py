@@ -131,8 +131,6 @@ def spimi_encode_batch(batch: pa.Table, *, doclens_dir: str,
     Doclens are written as side parquet files named by the batch's min
     doc_id — deterministic and idempotent under task retry.
     """
-    if from_html:
-        batch = _EXTRACT(batch)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(doc_ids) > 1 and not (doc_ids[1:] >= doc_ids[:-1]).all():
         # a batch may span non-adjacent blocks; keep runs doc-sorted
@@ -150,21 +148,31 @@ def spimi_encode_batch(batch: pa.Table, *, doclens_dir: str,
             lo = 0
             for hi in list(jumps) + [len(doc_ids)]:
                 parts.append(_encode_part(batch.slice(lo, hi - lo), doclens_dir,
-                                          num_buckets, doc_range_size))
+                                          num_buckets, doc_range_size, from_html))
                 lo = hi
             return pa.concat_tables(parts).sort_by(
                 [("bucket", "ascending"), ("term", "ascending")])
-    return _encode_part(batch, doclens_dir, num_buckets, doc_range_size)
+    return _encode_part(batch, doclens_dir, num_buckets, doc_range_size, from_html)
 
 
 _CONTIG_GAP = 4096
 
 
 def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
-                 doc_range_size: int) -> pa.Table:
+                 doc_range_size: int, from_html: bool = False) -> pa.Table:
     """Encode one doc-contiguous batch slice into run rows."""
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    toks = tokenize_column(batch["text"])
+    toks = None
+    if from_html:
+        from ..tokenizer import tokenize_html_column
+
+        # fused path: tokenize inside the html buffer (no text column
+        # materialized); None -> non-ASCII payload, extract then tokenize
+        toks = tokenize_html_column(batch["html"])
+        if toks is None:
+            batch = _EXTRACT(batch)
+    if toks is None:
+        toks = tokenize_column(batch["text"])
     offsets = toks.offsets.to_numpy(zero_copy_only=False)
     dls = (offsets[1:] - offsets[:-1]).astype(np.int64)
     _write_doclens(doclens_dir, doc_ids, dls)
@@ -187,24 +195,137 @@ def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
     dict_np = np.asarray(enc.dictionary.to_pandas(), dtype=object)
     bucket_per_dict = term_bucket_of(dict_np, num_buckets)
 
-    # term boundaries in the sorted (term, doc) stream
-    change = np.empty(len(u_term), dtype=bool)
-    change[0] = True
-    change[1:] = u_term[1:] != u_term[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], len(u_term))
-    rows = []
-    for s, e in zip(starts, ends):
-        t_id = int(u_term[s])
-        run = encode_postings(out_doc[s:e], tf[s:e], out_dl[s:e])
-        rows.append(_run_to_row(
-            dict_np[t_id], int(bucket_per_dict[t_id]),
-            int(out_doc[s] // doc_range_size), run))
-    out = pa.Table.from_pylist(rows, schema=_RUN_SCHEMA)
+    out = _encode_terms_vectorized(u_term, out_doc, tf, out_dl,
+                                   enc.dictionary, bucket_per_dict,
+                                   doc_range_size)
     # cluster by bucket so the per-bucket merge can prune row groups
     # (runs are written with small row groups; the merge reads only the
     # groups whose bucket-stat range matches)
     return out.sort_by([("bucket", "ascending"), ("term", "ascending")])
+
+
+def _bit_widths(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length (>=1) via frexp (exact below 2^53)."""
+    _, e = np.frexp(np.maximum(v, 1).astype(np.float64))
+    return e.astype(np.int64)
+
+
+def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
+                             tf: np.ndarray, dl: np.ndarray,
+                             dictionary, bucket_per_dict: np.ndarray,
+                             doc_range_size: int,
+                             block_size: int = 128) -> pa.Table:
+    """Encode ALL terms' posting runs of one batch in a handful of numpy
+    passes (no per-term Python): block segmentation, per-block widths via
+    reduceat, grouped bit-packing (blocks sharing (len, width) pack in
+    one batched np.packbits), and direct Arrow array assembly — the
+    payload buffer IS the Binary column's data buffer, sliced per term.
+    Byte layout identical to codec.encode_postings (tested)."""
+    n = len(u_term)
+    # term boundaries
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = u_term[1:] != u_term[:-1]
+    t_starts = np.flatnonzero(change)
+    t_counts = np.diff(np.append(t_starts, n))
+
+    # block segmentation within each term
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(t_starts, t_counts)
+    b_bound = change | (pos_in_term % block_size == 0)
+    b_starts = np.flatnonzero(b_bound)
+    nb = len(b_starts)
+    b_len = np.diff(np.append(b_starts, n)).astype(np.int64)
+    b_ends = b_starts + b_len
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    np.subtract(doc[1:], doc[:-1], out=deltas[1:])
+    deltas[b_starts] = 0
+    tfm1 = tf.astype(np.int64) - 1
+
+    b_first = doc[b_starts]
+    b_last = doc[b_ends - 1]
+    b_maxd = np.maximum.reduceat(deltas, b_starts)
+    b_maxtf = np.maximum.reduceat(tfm1, b_starts)
+    b_mindl = np.minimum.reduceat(dl, b_starts)
+    wd = _bit_widths(b_maxd)
+    wt = _bit_widths(b_maxtf)
+
+    nd = (b_len * wd + 7) // 8
+    nt = (b_len * wt + 7) // 8
+    blen = 2 + nd + nt
+    boffs = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(blen, out=boffs[1:])
+    buf = np.zeros(int(boffs[-1]), dtype=np.uint8)
+    buf[boffs[:-1]] = wd
+    buf[boffs[:-1] + 1] = wt
+
+    def pack(values: np.ndarray, widths: np.ndarray, data_off: np.ndarray):
+        # group blocks by (length, width) and pack each group in one shot
+        shape_key = (b_len << 8) | widths
+        for key in np.unique(shape_key):
+            sel = np.flatnonzero(shape_key == key)
+            L = int(b_len[sel[0]])
+            w = int(widths[sel[0]])
+            k = len(sel)
+            gather = b_starts[sel][:, None] + np.arange(L, dtype=np.int64)
+            vals = values[gather].astype(np.uint64)          # (k, L)
+            bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
+                .astype(np.uint8).reshape(k, L * w)
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.zeros((k, pad), dtype=np.uint8)], axis=1)
+            nbytes = bits.shape[1] // 8
+            packed = np.packbits(bits.reshape(k, nbytes, 8)[:, :, ::-1],
+                                 axis=2).reshape(k, nbytes)
+            tgt = data_off[sel][:, None] + np.arange(nbytes, dtype=np.int64)
+            buf[tgt.reshape(-1)] = packed.reshape(-1)
+
+    pack(deltas, wd, boffs[:-1] + 2)
+    pack(tfm1, wt, boffs[:-1] + 2 + nd)
+
+    # runs: per-term slices over blocks / bytes
+    term_of_block = u_term[b_starts]
+    tb_change = np.empty(nb, dtype=bool)
+    tb_change[0] = True
+    tb_change[1:] = term_of_block[1:] != term_of_block[:-1]
+    r_bstarts = np.flatnonzero(tb_change)          # first block of each run
+    r_bcounts = np.diff(np.append(r_bstarts, nb))
+    run_term = term_of_block[r_bstarts]
+    run_byte_start = boffs[r_bstarts]
+    run_byte_end = boffs[np.append(r_bstarts[1:], nb)]
+
+    payload_offsets = np.zeros(len(r_bstarts) + 1, dtype=np.int32)
+    payload_offsets[1:] = run_byte_end.astype(np.int32)
+    payload = pa.BinaryArray.from_buffers(
+        pa.binary(), len(r_bstarts),
+        [None, pa.py_buffer(payload_offsets.tobytes()),
+         pa.py_buffer(buf.tobytes())])
+
+    rel_block_offset = boffs[:-1] - np.repeat(run_byte_start, r_bcounts)
+    list_off = np.zeros(len(r_bstarts) + 1, dtype=np.int64)
+    np.cumsum(r_bcounts, out=list_off[1:])
+    loff = pa.array(list_off, type=pa.int64())
+
+    def lst(arr, typ):
+        return pa.ListArray.from_arrays(loff, pa.array(arr.astype(typ)))
+
+    run_df = np.add.reduceat(b_len, r_bstarts)
+    return pa.table({
+        "term": dictionary.take(pa.array(run_term)),
+        "bucket": pa.array(bucket_per_dict[run_term], type=pa.int32()),
+        "rng": pa.array((b_first[r_bstarts] // doc_range_size).astype(np.int32)),
+        "first_doc": pa.array(b_first[r_bstarts], type=pa.int64()),
+        "df": pa.array(run_df, type=pa.int64()),
+        "payload": payload,
+        "block_len": lst(b_len, np.int32),
+        "block_offset": lst(rel_block_offset, np.int64),
+        "block_first_doc": lst(b_first, np.int64),
+        "block_last_doc": lst(b_last, np.int64),
+        "block_max_tf": lst(b_maxtf + 1, np.int32),
+        "block_min_dl": lst(b_mindl, np.int32),
+    }).cast(_RUN_SCHEMA)
 
 
 _EXTRACT = HtmlExtract()
@@ -470,6 +591,7 @@ def build_index(pages_path: str, index_dir: str, *,
 
     import ray as _ray
 
+    t_stats0 = time.time()
     dl_files = sorted(_glob.glob(os.path.join(doclens_dir, "*.parquet")))
 
     @_ray.remote
@@ -508,6 +630,7 @@ def build_index(pages_path: str, index_dir: str, *,
         "pages_path": pages_path,
         "wall_s_total": time.time() - t0,
         "wall_s_merge": t2 - t1,
+        "wall_s_stats": time.time() - t_stats0,
         "build_docs_per_s": n_docs_total / max(1e-9, time.time() - t0),
     }
     with open(stats_path + ".tmp", "w") as f:

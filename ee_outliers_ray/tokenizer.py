@@ -38,7 +38,9 @@ _IS_TOK[97:123] = True
 _IS_TOK[48:58] = True
 
 
-def _tokenize_chunk_ascii(chunk: pa.Array) -> pa.ListArray | None:
+def _tokenize_chunk_ascii(chunk: pa.Array,
+                          region_mask: np.ndarray | None = None
+                          ) -> pa.ListArray | None:
     """Single-pass numpy tokenizer over the raw string buffer.
 
     Valid only for all-ASCII chunks (the only non-ASCII codepoints that
@@ -46,6 +48,10 @@ def _tokenize_chunk_ascii(chunk: pa.Array) -> pa.ListArray | None:
     the regex path handles); returns None when a non-ASCII byte is seen
     and the caller falls back.  ~10x cheaper than lower+regex-split: one
     table lookup, one boolean mask, reductions — all memory-speed.
+
+    ``region_mask``: optional per-byte bool (relative to the chunk's
+    value range) limiting which bytes may belong to tokens — used by the
+    fused html tokenizer to mask everything outside <p>..</p>.
     """
     off_buf = chunk.buffers()[1]
     all_offsets = np.frombuffer(off_buf, dtype=np.int32)
@@ -62,6 +68,8 @@ def _tokenize_chunk_ascii(chunk: pa.Array) -> pa.ListArray | None:
     rel_off = offsets - base
     lowered = _LOWER[b]
     is_tok = _IS_TOK[lowered]
+    if region_mask is not None:
+        is_tok &= region_mask
 
     prev_not_tok = np.empty(len(b), dtype=bool)
     if len(b):
@@ -136,6 +144,40 @@ def tokenize_column(col: pa.ChunkedArray | pa.Array) -> pa.ListArray:
     np.cumsum(kept_per_row, out=new_offsets[1:])
     kept_flat = flat.filter(keep)
     return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int64()), kept_flat)
+
+
+def tokenize_html_column(html, open_tag: str = "<p>",
+                         close_tag: str = "</p>") -> pa.ListArray | None:
+    """Fused extract+tokenize: tokenize directly inside the html buffer,
+    masking every byte outside the first <p>..</p> region — zero-copy
+    with respect to the text (no extracted column is materialized).
+
+    Token-equivalent to ``tokenize_column(HtmlExtract()(batch)["text"])``
+    because '<' and '>' are separator bytes: token runs can never cross a
+    region boundary.  Returns None for non-ASCII payloads (caller falls
+    back to extract-then-tokenize).
+    """
+    s = pc.cast(html, pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int32)[
+        s.offset: s.offset + len(s) + 1].astype(np.int64)
+    nbytes = int(offs[-1] - offs[0])
+    start = pc.find_substring(s, open_tag).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    end = pc.find_substring(s, close_tag).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    valid = (start >= 0) & (end >= 0)
+    abs_start = (offs[:-1] - offs[0]) + start + len(open_tag)
+    abs_end = (offs[:-1] - offs[0]) + end
+    abs_start = abs_start[valid]
+    abs_end = np.maximum(abs_end[valid], abs_start)
+    # region mask via +1/-1 boundary flags and a cumulative sum
+    flags = np.zeros(nbytes + 1, dtype=np.int8)
+    np.add.at(flags, abs_start, 1)
+    np.add.at(flags, abs_end, -1)
+    mask = np.cumsum(flags[:-1]).astype(bool)
+    return _tokenize_chunk_ascii(s, region_mask=mask)
 
 
 def token_counts_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
