@@ -359,7 +359,7 @@ class SpimiEncode:
         return spimi_encode_batch(batch, **self.kw)
 
 
-def _merge_bucket_group(group: pa.Table) -> pa.Table:
+def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
     """Tiered merge: all runs of one bucket -> one merged run per term,
     term-sorted output; per-term runs byte-concatenated in first_doc
     order.
@@ -373,9 +373,12 @@ def _merge_bucket_group(group: pa.Table) -> pa.Table:
     """
     if group.num_rows == 0:
         return _RUN_SCHEMA.empty_table()
-    group = group.sort_by([("term", "ascending"), ("first_doc", "ascending")])
+    group = group.sort_by([("term", "ascending"), ("rng", "ascending"),
+                           ("first_doc", "ascending")])
     bucket = int(group["bucket"][0].as_py())
     n = group.num_rows
+    rng_col = group["rng"].to_numpy(zero_copy_only=False) \
+        if scope == "bucket_rng" else None
 
     term_arr = group["term"]
     if isinstance(term_arr, pa.ChunkedArray):
@@ -405,10 +408,14 @@ def _merge_bucket_group(group: pa.Table) -> pa.Table:
     bl_mindl, _ = flat("block_min_dl", np.int32)
     blocks_per_row = l_off[1:] - l_off[:-1]
 
-    # term group boundaries
+    # merge-group boundaries: per term, or per (term, doc-range) when
+    # the hierarchical scope is requested (bounded groups at 10^12-doc
+    # scale; the reader concats the resulting per-range segment rows)
     change = np.empty(n, dtype=bool)
     change[0] = True
     change[1:] = terms[1:] != terms[:-1]
+    if rng_col is not None:
+        change[1:] |= rng_col[1:] != rng_col[:-1]
     t_starts = np.flatnonzero(change)
     t_ends = np.append(t_starts[1:], n)
 
@@ -431,11 +438,12 @@ def _merge_bucket_group(group: pa.Table) -> pa.Table:
     l_cum = l_off  # list offsets into flattened block arrays
     for ti, (s, e) in enumerate(zip(t_starts, t_ends)):
         fs, fe = l_cum[s], l_cum[e]
+        out_rng = int(rng_col[s]) if rng_col is not None else 0
         if chainable_term[ti]:
             out_rows.append({
                 "term": terms[s],
                 "bucket": bucket,
-                "rng": 0,
+                "rng": out_rng,
                 "first_doc": int(row_first[s]),
                 "df": int(df[s:e].sum()),
                 "payload": b"".join(payloads[s:e]),
@@ -469,7 +477,7 @@ def _merge_bucket_group(group: pa.Table) -> pa.Table:
                 np.repeat(r.block_min_dl, r.block_len) for r in runs])
             order = np.argsort(d, kind="stable")
             merged = encode_postings(d[order], t[order], dls[order])
-            out_rows.append(_run_to_row(terms[s], bucket, 0, merged))
+            out_rows.append(_run_to_row(terms[s], bucket, out_rng, merged))
     return pa.Table.from_pylist(out_rows, schema=_RUN_SCHEMA)
 
 
@@ -479,6 +487,7 @@ def build_index(pages_path: str, index_dir: str, *,
                 from_html: bool = True,
                 batch_size: int = 8192,
                 concurrency: int | tuple | None = None,
+                merge_scope: str = "bucket",
                 overwrite: bool = False) -> dict:
     """Build the full index under ``index_dir``.  Returns the stats manifest.
 
@@ -553,12 +562,30 @@ def build_index(pages_path: str, index_dir: str, *,
             for b in range(int(st.min), int(st.max) + 1):
                 rg_map[b].append((fi, gi))
 
+    _MANIFEST_SCHEMA = pa.schema([
+        ("bucket", pa.int32()), ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()), ("n_bytes", pa.int64()),
+        ("skipped", pa.bool_()), ("wall_s", pa.float64()),
+    ])
+
     def _merge_bucket_task(batch: pa.Table) -> pa.Table:
+        """One task per bucket: read its row groups, merge, write the
+        segment file ATOMICALLY (tmp+rename, skip when present) — the
+        per-partition resume unit — and return a lineage/metrics row."""
         import pyarrow.compute as pc
 
-        outs = []
+        rows = []
         for b in batch["bucket_id"].to_pylist():
             b = int(b)
+            tb0 = time.time()
+            seg_dir = os.path.join(segments_dir, f"bucket={b}")
+            seg_path = os.path.join(seg_dir, "segment.parquet")
+            if os.path.exists(seg_path):
+                md = pq.read_metadata(seg_path)
+                rows.append({"bucket": b, "n_terms": md.num_rows,
+                             "n_postings": -1, "n_bytes": -1,
+                             "skipped": True, "wall_s": 0.0})
+                continue
             groups: dict[int, list[int]] = {}
             for fi, gi in rg_map[b]:
                 groups.setdefault(fi, []).append(gi)
@@ -566,19 +593,26 @@ def build_index(pages_path: str, index_dir: str, *,
             for fi, gis in groups.items():
                 t = pq.ParquetFile(run_files[fi]).read_row_groups(gis)
                 parts.append(t.filter(pc.equal(t["bucket"], b)))
-            if not parts:
-                continue
-            m = _merge_bucket_group(pa.concat_tables(parts))
-            if m.num_rows:
-                outs.append(m)
-        return pa.concat_tables(outs) if outs else _RUN_SCHEMA.empty_table()
+            m = _merge_bucket_group(pa.concat_tables(parts), merge_scope) \
+                if parts else _RUN_SCHEMA.empty_table()
+            os.makedirs(seg_dir, exist_ok=True)
+            tmp = seg_path + f".tmp{os.getpid()}"
+            pq.write_table(m, tmp, row_group_size=4096)
+            os.rename(tmp, seg_path)
+            rows.append({
+                "bucket": b, "n_terms": m.num_rows,
+                "n_postings": int(pc.sum(m["df"]).as_py() or 0),
+                "n_bytes": int(sum(len(p) for p in m["payload"].to_pylist())),
+                "skipped": False, "wall_s": round(time.time() - tb0, 4),
+            })
+        return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
 
     buckets_ds = ray.data.from_items(
         [{"bucket_id": b} for b in range(num_buckets)],
         override_num_blocks=num_buckets)
-    segs = buckets_ds.map_batches(_merge_bucket_task, batch_size=1,
-                                  batch_format="pyarrow")
-    segs.write_parquet(segments_dir, partition_cols=["bucket"])
+    manifest_rows = buckets_ds.map_batches(
+        _merge_bucket_task, batch_size=1,
+        batch_format="pyarrow").to_pandas().to_dict("records")
     t2 = time.time()
 
     # corpus stats from the doclens sidecar, computed distributed: one Ray
@@ -637,6 +671,7 @@ def build_index(pages_path: str, index_dir: str, *,
         json.dump(stats, f, indent=1)
     os.rename(stats_path + ".tmp", stats_path)
     with open(seg_manifest + ".tmp", "w") as f:
-        json.dump({"segments_dir": segments_dir, "wall_s": t2 - t1}, f)
+        json.dump({"segments_dir": segments_dir, "wall_s": t2 - t1,
+                   "buckets": manifest_rows}, f, indent=1)
     os.rename(seg_manifest + ".tmp", seg_manifest)
     return stats

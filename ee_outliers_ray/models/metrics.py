@@ -33,6 +33,7 @@ def _metrics_group_fn(whitelist: Whitelist, trigger_method: str,
         alive = g.reset_index(drop=True)
         empty = g.iloc[0:0].copy()
         empty["decision_frontier"] = pd.Series(dtype=np.float64)
+        empty["non_outlier_values_sample"] = pd.Series(dtype=object)
         while len(alive):
             values = alive["metric"].to_numpy(dtype=np.float64)
             frontier = get_decision_frontier(trigger_method, values,
@@ -51,6 +52,10 @@ def _metrics_group_fn(whitelist: Whitelist, trigger_method: str,
                     continue
             res = alive[flagged].copy()
             res["decision_frontier"] = float(frontier)
+            from .terms import sample_non_outliers
+
+            res["non_outlier_values_sample"] = sample_non_outliers(
+                alive["target"][~flagged].astype(str), agg_value)
             return res
         return empty
 

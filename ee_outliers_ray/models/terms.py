@@ -31,6 +31,23 @@ from .whitelist import Whitelist
 SEP = " - "
 
 
+def sample_non_outliers(values, group_key: str, k: int = 3) -> str:
+    """Deterministic stand-in for the reference's ``random.sample`` of up
+    to 3 non-outlier values (terms.py:433-436, metrics.py:276-279):
+    seeded per group key so results are stable across runs and
+    parallelism levels (the reference samples from a set, which is
+    already order-nondeterministic)."""
+    import zlib
+
+    vals = sorted(set(values))
+    if not vals:
+        return ""
+    rng = np.random.default_rng(zlib.crc32(str(group_key).encode()))
+    k = min(k, len(vals))
+    idx = rng.choice(len(vals), size=k, replace=False)
+    return ",".join(vals[i] for i in sorted(idx))
+
+
 def add_key_column(ds, cols: str | list[str], out_name: str):
     """Concat multi-field key with ' - ' (the reference's painless-script
     group key, /root/reference/app/helpers/es.py:796-803), vectorized."""
@@ -100,6 +117,8 @@ def _within_group_fn(whitelist: Whitelist, trigger_method: str,
             res = alive[flagged].copy()
             res["term_count"] = per_doc_count[flagged]
             res["decision_frontier"] = float(frontier)
+            res["non_outlier_values_sample"] = sample_non_outliers(
+                alive["target"][~flagged], agg_value)
             return res
 
     return fn
@@ -109,6 +128,7 @@ def _empty_like(g: pd.DataFrame) -> pd.DataFrame:
     e = g.iloc[0:0].copy()
     e["term_count"] = pd.Series(dtype=np.float64)
     e["decision_frontier"] = pd.Series(dtype=np.float64)
+    e["non_outlier_values_sample"] = pd.Series(dtype=object)
     return e
 
 
