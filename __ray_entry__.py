@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_occurrence": P.first_occurrence,
         # --- analyzer models (A3-A8, §2.8) ---
         "terms_across_counts": P.terms_across_counts,
+        "terms_across_outliers": P.terms_across_outliers,
+        "metrics_entropy_outliers": P.metrics_entropy_outliers,
         "terms_within_rare": P.terms_within_rare,
         "terms_within_median": P.terms_within_median,
         "metrics_length_outliers": P.metrics_length_outliers,
@@ -210,6 +212,14 @@ def oracle_sql() -> dict[str, str]:
                    e.user_id::VARCHAR AS target, c.n::DOUBLE AS term_count
             FROM events e JOIN c USING (event_type, user_id)
             WHERE c.n < 3""",
+        "terms_across_outliers": """
+            WITH c AS (SELECT event_type, count(DISTINCT user_id) AS n
+                       FROM events GROUP BY event_type),
+                 f AS (SELECT max(n) * (50 / 100.0) AS frontier FROM c)
+            SELECT e.event_id, e.event_type AS aggregator,
+                   c.n::DOUBLE AS term_count
+            FROM events e JOIN c USING (event_type), f
+            WHERE c.n > f.frontier""",
         "terms_within_median": """
             WITH c AS (SELECT event_type, user_id, count(*) AS n
                        FROM events GROUP BY 1, 2),

@@ -323,6 +323,36 @@ def terms_within_rare(sf_dir: str, max_count: int = 3):
     return _terms_out(out)
 
 
+def terms_across_outliers(sf_dir: str):
+    """Full terms across_aggregators model (A3): aggregators whose
+    distinct-user count exceeds 50% of the max get every event flagged."""
+    from .models.terms import terms_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    out = terms_model(ds, "event_type", "user_id",
+                      target_count_method="across_aggregators",
+                      trigger_method="pct_of_max_value",
+                      trigger_sensitivity=50, trigger_on="high")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                             "aggregator": pd.Series(dtype=object),
+                             "term_count": pd.Series(dtype=np.float64)})
+    return df[["event_id", "aggregator", "term_count"]]
+
+
+def metrics_entropy_outliers(sf_dir: str):
+    """metrics model with the shannon-entropy kernel (M7) over props
+    (rows-only: per-char entropy is not practical in SQL)."""
+    from .models.metrics import metrics_model
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    out = metrics_model(ds, "event_type", "props", metric="entropy",
+                        trigger_method="stdev", trigger_sensitivity=2,
+                        trigger_on="high")
+    return _metrics_out(out)
+
+
 def terms_within_median(sf_dir: str):
     """terms within_aggregator, pct_of_median_value 50 low — scale-
     invariant "rarely seen" (non-empty at every sf)."""
