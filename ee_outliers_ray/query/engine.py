@@ -44,8 +44,18 @@ class TaatSearcher:
     skip path.
     """
 
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader: IndexReader, *, n_docs: int | None = None,
+                 avgdl: float | None = None,
+                 df_lookup: dict[str, int] | None = None):
+        """``n_docs``/``avgdl``/``df_lookup`` override the reader's own
+        corpus stats — used by the sharded service, where postings are
+        shard-local but scoring MUST use the GLOBAL N / avgdl / df so
+        per-shard scores are directly mergeable and identical to a
+        single-index run."""
         self.reader = reader
+        self.n_docs = n_docs if n_docs is not None else reader.n_docs
+        self.avgdl = avgdl if avgdl is not None else reader.avgdl
+        self.df_lookup = df_lookup or {}
         self._acc = np.zeros(len(reader.doclens), dtype=np.float64)
         self._touched = np.zeros(len(reader.doclens), dtype=bool)
         # per-term BM25 weight vectors are query-independent (idf, dl,
@@ -53,6 +63,23 @@ class TaatSearcher:
         # to one scatter-add per term
         self._weights: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._weights_n = 0
+
+    def set_global_stats(self, n_docs: int, avgdl: float,
+                         df_lookup: dict[str, int]) -> None:
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.df_lookup = dict(df_lookup)
+        self._weights.clear()
+        self._weights_n = 0
+
+    def add_dfs(self, dfs: dict[str, int]) -> None:
+        for t, v in dfs.items():
+            if self.df_lookup.get(t) != v:
+                self.df_lookup[t] = v
+                self._weights.pop(t, None)
+
+    def local_df(self, term: str) -> int:
+        return self.reader.df(term)
 
     def _term_vec(self, t: str):
         hit = self._weights.get(t)
@@ -62,9 +89,9 @@ class TaatSearcher:
         if dec is None:
             return None
         doc_ids, tfs = dec
+        df = self.df_lookup.get(t, len(doc_ids))
         w = term_weight(tfs, self.reader.doclens[doc_ids],
-                        idf(self.reader.n_docs, len(doc_ids)),
-                        self.reader.avgdl)
+                        idf(self.n_docs, df), self.avgdl)
         if self._weights_n + len(doc_ids) > 30_000_000:
             self._weights.clear()
             self._weights_n = 0

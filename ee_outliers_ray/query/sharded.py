@@ -1,0 +1,105 @@
+"""Doc-sharded query architecture — the 10^12-doc serving layout.
+
+A single QueryActor holding the whole index cannot exist at target
+scale; the standard design (and the one ES used under the reference) is
+document partitioning: each shard indexes a doc-id range, queries
+scatter to every shard and the per-shard top-k heaps merge.  Scores are
+directly mergeable ONLY when every shard scores with the GLOBAL corpus
+statistics, so the service:
+
+1. sums N / total_len across shard stats at startup (global avgdl);
+2. resolves each query term's GLOBAL df lazily by fanning out
+   ``local_df`` to the shards once per new term (cached);
+3. ships the resolved dfs with the query; each shard's TaatSearcher
+   scores its local postings with global idf/avgdl;
+4. merges per-shard top-k lists by (score desc, doc_id asc).
+
+Result: rank- and score-identical to a single index over the union
+(pytest-verified), with per-shard state bounded by the shard's doc
+range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray
+
+
+def build_sharded_index(pages_dir: str, base_dir: str, n_shards: int,
+                        **build_kw) -> list[str]:
+    """Partition the corpus FILES into ``n_shards`` doc-range shards and
+    build one index per shard (files are doc-contiguous by generation, so
+    shards are doc-id ranges).  Returns the shard index dirs."""
+    import glob as globlib
+
+    from ..index.build import build_index
+
+    files = sorted(globlib.glob(os.path.join(pages_dir, "*.parquet")))
+    assert files, pages_dir
+    shards = [files[i * len(files) // n_shards:
+                    (i + 1) * len(files) // n_shards]
+              for i in range(n_shards)]
+    dirs = []
+    for i, shard_files in enumerate(shards):
+        d = os.path.join(base_dir, f"shard={i}")
+        build_index(shard_files, d, **build_kw)
+        dirs.append(d)
+    return dirs
+
+
+@ray.remote
+class ShardActor:
+    def __init__(self, index_dir: str):
+        from .engine import TaatSearcher
+        from .reader import IndexReader
+
+        self.reader = IndexReader(index_dir)
+        self.searcher = TaatSearcher(self.reader)
+
+    def stats(self) -> dict:
+        return {"n_docs": self.reader.n_docs,
+                "total_len": self.reader.stats["total_len"]}
+
+    def set_global_stats(self, n_docs: int, avgdl: float) -> None:
+        self.searcher.set_global_stats(n_docs, avgdl, {})
+
+    def local_df(self, terms: list[str]) -> dict[str, int]:
+        return {t: self.searcher.local_df(t) for t in terms}
+
+    def topk(self, query: str, k: int, dfs: dict[str, int]) -> list:
+        self.searcher.add_dfs(dfs)
+        return self.searcher.topk(query, k)
+
+
+class ShardedQueryService:
+    def __init__(self, shard_dirs: list[str]):
+        self.actors = [ShardActor.remote(d) for d in shard_dirs]
+        stats = ray.get([a.stats.remote() for a in self.actors])
+        self.n_docs = sum(s["n_docs"] for s in stats)
+        total_len = sum(s["total_len"] for s in stats)
+        self.avgdl = total_len / self.n_docs if self.n_docs else 0.0
+        ray.get([a.set_global_stats.remote(self.n_docs, self.avgdl)
+                 for a in self.actors])
+        self._df_cache: dict[str, int] = {}
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            per_shard = ray.get(
+                [a.local_df.remote(missing) for a in self.actors])
+            for t in missing:
+                self._df_cache[t] = sum(d[t] for d in per_shard)
+        return {t: self._df_cache[t] for t in terms}
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        from ..tokenizer import tokenize
+
+        terms = sorted(set(tokenize(query)))
+        dfs = self._global_dfs(terms)
+        shard_results = ray.get(
+            [a.topk.remote(query, k, dfs) for a in self.actors])
+        merged = [x for r in shard_results for x in r]
+        merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return merged[:k]
