@@ -84,5 +84,9 @@ def test_rows_only_queries_run():
 
 def test_entry_runs():
     res = _to_pandas(E.entry())
-    assert len(res) >= 0
-    assert set(res.columns) == {"doc_id", "score"}
+    assert len(res) > 0
+    assert set(res.columns) == {"query", "doc_id", "score"}
+    # stable across invocations (deterministic corpus + engine)
+    res2 = _to_pandas(E.entry())
+    pd.testing.assert_frame_equal(res.reset_index(drop=True),
+                                  res2.reset_index(drop=True))
