@@ -260,9 +260,17 @@ class SimHasher:
 
 
 def simhash_candidates(ds, *, hamming_bands: int = 4,
+                       max_hamming: int = 3, max_bucket: int = 512,
                        text_col: str = "text", id_col: str = "doc_id"):
-    """SimHash near-dup candidates: docs sharing any 16-bit band of the
-    64-bit simhash (catches hamming distance < hamming_bands)."""
+    """SimHash near-dups: docs sharing any 16-bit band of the 64-bit
+    simhash are candidates (complete for hamming distance < hamming_bands
+    by pigeonhole), then VERIFIED by exact hamming distance <=
+    ``max_hamming`` via a vectorized XOR-popcount inside the bucket group.
+
+    Buckets larger than ``max_bucket`` are truncated (quadratic pair
+    blow-up guard for pathological bucket collisions on near-identical
+    corpora); truncation is counted in the output column ``truncated`` so
+    coverage loss is visible, never silent."""
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(text_col=text_col,
                                                      id_col=id_col),
@@ -272,28 +280,46 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        rows_i, rows_b, rows_h = [], [], []
+        rows_i, rows_b, rows_h, rows_s = [], [], [], []
         for bi in range(hamming_bands):
             band = (sh >> np.uint64(bi * width)) & np.uint64((1 << width) - 1)
             rows_i.extend(ids.tolist())
             rows_b.extend([bi] * len(ids))
             rows_h.extend(band.tolist())
+            rows_s.extend(sh.tolist())
         return pa.table({id_col: pa.array(rows_i, type=pa.int64()),
                          "band_id": pa.array(rows_b, type=pa.int32()),
-                         "band_val": pa.array(rows_h, type=pa.uint64())})
+                         "band_val": pa.array(rows_h, type=pa.uint64()),
+                         "simhash": pa.array(rows_s, type=pa.uint64())})
 
     buckets = filter_crowded_buckets(
         sigs.map_batches(explode, batch_format="pyarrow"),
         ["band_id", "band_val"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["id_a", "id_b"]) if out else \
-            pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                          "id_b": pd.Series(dtype=np.int64)})
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        truncated = max(0, len(g) - max_bucket)
+        g = g.head(max_bucket)
+        ids = g[id_col].to_numpy()
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64),
+                              "truncated": pd.Series(dtype=np.int64)})
+        if len(ids) < 2:
+            return empty
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        # vectorized popcount over the 8 bytes of each xor value
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": ham[keep].astype(np.int64),
+                             "truncated": np.int64(truncated)})
 
     cand = buckets.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")
-    return distinct_pairs(cand)
+    return distinct_pairs(cand, extra_max_col="hamming")
