@@ -60,7 +60,6 @@ def filter_crowded_buckets(buckets_ds, key_cols: list[str]):
     corpus) is broadcast into a map_batches membership filter.  This
     avoids running per-group Python over millions of singleton buckets.
     """
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 

@@ -89,8 +89,6 @@ def extract_asset_information(batch: pa.Table, asset_fields: dict[str, str],
     """M15: configured asset columns -> list of "type: value" strings per
     row (utils.py:130-155; [assets] section, defaults/outliers.conf:48-80).
     Vectorized per column; null values skipped."""
-    import numpy as np
-
     n = batch.num_rows
     parts: list[list[str]] = [[] for _ in range(n)]
     for col_name, asset_type in asset_fields.items():

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import textwrap
 
-import numpy as np
 import pyarrow as pa
 
 from .models.whitelist import Whitelist

@@ -17,7 +17,6 @@ import os
 import zlib
 
 import numpy as np
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..index.build import _row_to_run

@@ -21,7 +21,6 @@ range.
 
 from __future__ import annotations
 
-import json
 import os
 
 import ray

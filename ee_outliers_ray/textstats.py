@@ -5,7 +5,6 @@ column (the training-data-pipeline layer on top of the tokenizer)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from .functions import duck_round
