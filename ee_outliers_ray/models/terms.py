@@ -160,6 +160,8 @@ def terms_model(ds, aggregator, target, *, target_count_method: str,
     pair_counts = ds.groupby(["aggregator", "target"]).aggregate(
         Count(alias_name="pair_n"))
     pairs_pd = pair_counts.to_pandas()  # (aggregator, target) distinct pairs
+    if pairs_pd.empty:  # empty input loses its schema through to_pandas
+        pairs_pd = pd.DataFrame(columns=["aggregator", "target", "pair_n"])
 
     removed_pairs: set[tuple[str, str]] = set()
     while True:
