@@ -414,8 +414,14 @@ def sudden_appearance_events(sf_dir: str):
         history_end=dt.datetime(2024, 1, 29),
         slide=dt.timedelta(days=7), step=dt.timedelta(days=1),
         tiebreak_col="event_id")
-    return out.select_columns(
-        ["aggregator", "target", "win_start", "win_end", "first_ts", "event_id"])
+    df = out.select_columns(
+        ["aggregator", "target", "win_start", "win_end", "first_ts",
+         "event_id"]).to_pandas()
+    # normalize to microsecond timestamps (matches DuckDB fetchdf and the
+    # parquet source unit; map_groups-produced columns come back as ns)
+    for c in ("win_start", "win_end", "first_ts"):
+        df[c] = df[c].astype("datetime64[us]")
+    return df
 
 
 # --------------------------------------------------------------------------
