@@ -675,3 +675,70 @@ def build_index(pages_path: str, index_dir: str, *,
                    "buckets": manifest_rows}, f, indent=1)
     os.rename(seg_manifest + ".tmp", seg_manifest)
     return stats
+
+
+def append_to_index(new_pages_path, index_dir: str, *,
+                    from_html: bool = True,
+                    batch_size: int = 8192,
+                    merge_scope: str = "bucket") -> dict:
+    """Incrementally index an APPEND batch (new docs with ids beyond the
+    existing corpus) into an existing index — the log-structured update
+    path: tokenize+encode ONLY the new documents into additional run
+    files, then re-run the per-bucket tiered merge over old+new runs
+    (byte concat of doc-disjoint runs; old documents are never
+    re-tokenized).  Stats and segments refresh; the runs checkpoint stays
+    the source of truth.
+    """
+    import glob as _glob
+
+    import ray.data
+
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path) as f:
+        old_stats = json.load(f)
+    num_buckets = old_stats["num_buckets"]
+    doc_range_size = old_stats["doc_range_size"]
+
+    # append-only contract: new doc ids must lie beyond every existing id
+    dl_files = sorted(_glob.glob(os.path.join(index_dir, "doclens", "*.parquet")))
+    max_existing = -1
+    for fpath in dl_files[-4:]:  # files are named by min doc_id, sorted
+        d = pq.read_table(fpath, columns=["doc_id"])["doc_id"]
+        max_existing = max(max_existing, int(d[len(d) - 1].as_py()))
+    new_min = None
+    for fpath in (sorted(_glob.glob(os.path.join(new_pages_path, "*.parquet")))
+                  if isinstance(new_pages_path, str) else new_pages_path):
+        d = pq.read_table(fpath, columns=["doc_id"])["doc_id"]
+        mn = min(int(x) for x in d.to_pylist())
+        new_min = mn if new_min is None else min(new_min, mn)
+    if new_min is None or new_min <= max_existing:
+        raise ValueError(
+            f"append requires new doc_ids > {max_existing}; got min {new_min}")
+
+    from functools import partial
+
+    cols = ["doc_id", "html"] if from_html else ["doc_id", "text"]
+    ds = ray.data.read_parquet(new_pages_path, columns=cols)
+    runs = ds.map_batches(
+        partial(spimi_encode_batch,
+                doclens_dir=os.path.join(index_dir, "doclens"),
+                num_buckets=num_buckets,
+                doc_range_size=doc_range_size,
+                from_html=from_html),
+        batch_format="pyarrow", batch_size=batch_size)
+    # additional run files land next to the existing ones (unique names)
+    runs.write_parquet(os.path.join(index_dir, "runs"), row_group_size=512)
+
+    # invalidate merge outputs; the build resumes FROM RUNS (manifest kept)
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "segments"), ignore_errors=True)
+    for p in ("segments.manifest.json", "stats.json"):
+        fp = os.path.join(index_dir, p)
+        if os.path.exists(fp):
+            os.remove(fp)
+    return build_index(old_stats["pages_path"], index_dir,
+                       num_buckets=num_buckets,
+                       doc_range_size=doc_range_size,
+                       from_html=from_html, batch_size=batch_size,
+                       merge_scope=merge_scope)

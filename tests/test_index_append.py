@@ -1,0 +1,50 @@
+"""Incremental append: index(batch1) + append(batch2) must equal a
+fresh index over batch1+batch2 — without re-tokenizing batch1."""
+
+import glob
+import os
+
+import pytest
+
+from ee_outliers_ray.corpus import _gen_file_table, generate_pages
+from ee_outliers_ray.index.build import append_to_index, build_index
+from ee_outliers_ray.query.engine import taat_topk
+from ee_outliers_ray.query.reader import IndexReader
+
+
+def test_append_equals_full_rebuild(tmp_path):
+    import pyarrow.parquet as pq
+
+    all_dir = str(tmp_path / "all")
+    first_dir = str(tmp_path / "first")
+    os.makedirs(first_dir)
+    generate_pages(all_dir, total_rows=600, num_files=3, seed=42)
+    files = sorted(glob.glob(os.path.join(all_dir, "*.parquet")))
+    # first corpus = files 0-1; append batch = file 2
+    for f in files[:2]:
+        os.link(f, os.path.join(first_dir, os.path.basename(f)))
+
+    inc = str(tmp_path / "inc")
+    build_index(first_dir, inc, num_buckets=4, batch_size=100)
+    n_runs_before = len(glob.glob(os.path.join(inc, "runs", "*.parquet")))
+    append_to_index([files[2]], inc, batch_size=100)
+    n_runs_after = len(glob.glob(os.path.join(inc, "runs", "*.parquet")))
+    assert n_runs_after > n_runs_before  # new runs appended, old kept
+
+    full = str(tmp_path / "full")
+    build_index(all_dir, full, num_buckets=4, batch_size=100)
+
+    r_inc, r_full = IndexReader(inc), IndexReader(full)
+    assert r_inc.n_docs == r_full.n_docs == 600
+    assert r_inc.avgdl == pytest.approx(r_full.avgdl)
+    for q in ["the data", "w0042", "search engine crawl", "fast merge"]:
+        assert taat_topk(r_inc, q, 10) == taat_topk(r_full, q, 10), q
+
+
+def test_append_rejects_overlapping_ids(tmp_path):
+    d = str(tmp_path / "pages")
+    generate_pages(d, total_rows=200, num_files=1, seed=42)
+    idx = str(tmp_path / "idx")
+    build_index(d, idx, num_buckets=2, batch_size=100)
+    with pytest.raises(ValueError, match="append requires"):
+        append_to_index(sorted(glob.glob(os.path.join(d, "*.parquet"))), idx)
