@@ -36,6 +36,7 @@ class ModelConfig:
     params: dict
     whitelist: Whitelist = field(default_factory=Whitelist)
     defaults: dict = field(default_factory=dict)
+    derived_fields: dict = field(default_factory=dict)
 
     def get(self, name, default=None, cast=None):
         v = self.params.get(name)
@@ -65,6 +66,8 @@ def load_use_cases(path_or_glob: str, defaults: dict | None = None
             regexp_entries=[v for _, v in cp.items("whitelist_regexps")]
             if cp.has_section("whitelist_regexps") else [],
         )
+        derived = dict(cp.items("derivedfields")) \
+            if cp.has_section("derivedfields") else {}
         for section in cp.sections():
             for prefix in MODEL_PREFIXES:
                 if section.startswith(prefix + "_"):
@@ -74,6 +77,7 @@ def load_use_cases(path_or_glob: str, defaults: dict | None = None
                         params=dict(cp.items(section)),
                         whitelist=wl,
                         defaults=defaults or {},
+                        derived_fields=derived,
                     ))
                     break
     return out
@@ -93,6 +97,20 @@ def run_model(cfg: ModelConfig, ds, *, reader=None, ts_col: str = "ts"):
     planner = _REGISTRY.get(cfg.model_type)
     if planner is None:
         raise ValueError(f"unknown model type {cfg.model_type}")
+    if cfg.derived_fields and cfg.get("use_derived_fields", cast=bool):
+        # Grok-derived columns added BEFORE analysis, so they can serve as
+        # aggregators/targets (reference defaults/outliers.conf:146-150)
+        from ..derived import DerivedFields
+
+        ds = ds.map_batches(DerivedFields,
+                            fn_constructor_kwargs={
+                                "field_patterns": cfg.derived_fields},
+                            batch_format="pyarrow", concurrency=2)
+    pct = cfg.get("training_data_size_pct", cast=float)
+    if pct is not None and pct < 100:
+        # O9 training-data limit (templates/train_and_run.py:26-42) —
+        # seeded sample so runs stay deterministic
+        ds = ds.random_sample(pct / 100.0, seed=42)
     return planner(cfg, ds, reader=reader, ts_col=ts_col)
 
 
@@ -102,6 +120,12 @@ def _plan_simplequery(cfg, ds, *, reader=None, ts_col="ts"):
     q = cfg.get("es_query_filter", "")
     out = filter_by_query_string(ds, q, reader=reader,
                                  default_operator="and")
+    if cfg.get("highlight_match", cast=bool):
+        # Q7: report which query terms matched (simplequery.py:83-93)
+        from ..query.dsl import add_matched_values
+
+        out = add_matched_values(out, q,
+                                 text_col=cfg.get("text_field", "text"))
     import pyarrow as pa
 
     name, mtype = cfg.model_name, cfg.model_type

@@ -175,3 +175,63 @@ def test_derived_fields_and_assets():
     out2 = extract_asset_information(b, {"user": "user", "host": "host"})
     assert out2["assets"][0].as_py() == ["user: alice", "host: web1"]
     assert out2["assets"][1].as_py() == ["host: web2"]
+
+
+def test_config_derived_fields_and_highlight(tmp_path):
+    import ray.data
+
+    uc = tmp_path / "uc.conf"
+    uc.write_text("""
+[simplequery_find_spark]
+es_query_filter=spark
+highlight_match=1
+text_field=text
+
+[terms_by_year]
+aggregator=derived_y
+target=doc_id
+target_count_method=within_aggregator
+trigger_method=float
+trigger_sensitivity=2
+trigger_on=low
+use_derived_fields=1
+
+[derivedfields]
+ts_str=%{YEAR:y}-%{MONTHNUM:mo}
+""")
+    cfgs = load_use_cases(str(uc))
+    assert cfgs[0].derived_fields == {"ts_str": "%{YEAR:y}-%{MONTHNUM:mo}"}
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["spark here", "no match", "spark and merge"],
+        "ts_str": ["2024-03-01", "2023-05-01", "2024-06-01"],
+    }))
+    sq = run_model(cfgs[0], ds).to_pandas()
+    assert sorted(sq["doc_id"]) == [0, 2]
+    assert list(sq.sort_values("doc_id")["matched_values"].iloc[0]) == ["spark"]
+    tm = run_model(cfgs[1], ds).to_pandas()
+    # derived_y: 2024 x2, 2023 x1 -> each doc_id unique (count 1 < 2): all flagged
+    assert len(tm) == 3
+    assert set(tm["aggregator"]) == {"2024", "2023"}
+
+
+def test_config_training_pct(tmp_path):
+    import ray.data
+
+    uc = tmp_path / "uc.conf"
+    uc.write_text("""
+[metrics_sampled]
+aggregator=event_type
+target=value
+metric=numerical_value
+trigger_method=mad
+trigger_sensitivity=1
+trigger_on=high
+training_data_size_pct=10
+""")
+    cfgs = load_use_cases(str(uc))
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    out1 = run_model(cfgs[0], events).to_pandas()
+    out2 = run_model(cfgs[0], events).to_pandas()
+    # seeded sample -> deterministic, and far fewer rows than the full run
+    assert sorted(out1["event_id"]) == sorted(out2["event_id"])
