@@ -181,14 +181,22 @@ def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
     if len(flat) == 0:
         return _RUN_SCHEMA.empty_table()
     enc = flat.dictionary_encode()
-    term_ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(np.arange(len(doc_ids), dtype=np.int64),
-                        offsets[1:] - offsets[:-1])
-    # (term, doc) tf counts, sorted by (term_id, doc_idx) by key order
-    keys = term_ids * len(doc_ids) + doc_idx
+    n_rows = len(doc_ids)
+    term_ids = enc.indices.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n_rows), offsets[1:] - offsets[:-1])
+    # (term, doc) tf counts, sorted by (term_id, doc_idx) by key order;
+    # int32 keys when they fit (halves the sort's memory traffic — the
+    # unique() over composed keys is the hottest array in the stage)
+    n_terms = len(enc.dictionary)
+    if n_terms * n_rows < (1 << 31):
+        keys = term_ids.astype(np.int32) * np.int32(n_rows) + \
+            doc_idx.astype(np.int32)
+    else:
+        keys = term_ids.astype(np.int64) * n_rows + doc_idx
     uniq, tf = np.unique(keys, return_counts=True)
-    u_term = (uniq // len(doc_ids)).astype(np.int64)
-    u_doc = (uniq % len(doc_ids)).astype(np.int64)
+    uniq = uniq.astype(np.int64)
+    u_term = (uniq // n_rows).astype(np.int64)
+    u_doc = (uniq % n_rows).astype(np.int64)
     out_doc = doc_ids[u_doc]
     out_dl = dls[u_doc]
 

@@ -168,6 +168,8 @@ class And(Node):
         for c in self.children:
             m = c.mask(batch, ctx)
             out = m if out is None else out & m
+        if out is None:  # empty conjunction (e.g. empty query) matches all
+            out = np.ones(batch.num_rows, dtype=bool)
         return out
 
     def terms(self):
@@ -183,6 +185,8 @@ class Or(Node):
         for c in self.children:
             m = c.mask(batch, ctx)
             out = m if out is None else out | m
+        if out is None:
+            out = np.zeros(batch.num_rows, dtype=bool)
         return out
 
     def terms(self):

@@ -120,3 +120,31 @@ def test_index_backed_term(tmp_path):
 def test_terms_collection():
     ast = parse_query_string('spark AND "merge fast" AND lang:en', "and")
     assert sorted(ast.terms()) == ["fast", "merge", "spark"]
+
+
+def test_parser_edge_cases():
+    # quoted value with colon-ish content, escaped-ish forms, stray parens
+    ast = parse_query_string('field:"value with spaces"')
+    assert isinstance(ast, FieldMatch) and ast.value == "value with spaces"
+    ast = parse_query_string("a AND (b OR c) AND -d", "and")
+    assert isinstance(ast, And) and len(ast.children) == 3
+    ast = parse_query_string("))((")  # malformed input must not crash
+    assert ast is not None
+    ast = parse_query_string("")  # empty query
+    m = ast.mask(_batch(), CTX)
+    assert len(m) == 4
+    ast = parse_query_string("NOT spark")
+    assert isinstance(ast, Not)
+    assert list(ast.mask(_batch(), CTX)) == [False, True, False, True]
+    # _exists_ with quoted field
+    ast = parse_query_string('_exists_:"lang"')
+    assert isinstance(ast, Exists) and ast.field == "lang"
+
+
+def test_parser_or_default_operator():
+    # Lucene default operator OR: bare juxtaposition unions
+    ast = parse_query_string("lang:en lang:fr")
+    assert list(ast.mask(_batch(), CTX)) == [True, True, False, True]
+    # explicit AND overrides
+    ast = parse_query_string("lang:en AND lang:fr")
+    assert list(ast.mask(_batch(), CTX)) == [False, False, False, False]
