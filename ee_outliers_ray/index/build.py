@@ -80,6 +80,8 @@ _RUN_SCHEMA = pa.schema([
     ("block_min_dl", pa.list_(pa.int32())),
 ])
 
+_RUN_SCHEMA_POS = _RUN_SCHEMA.append(pa.field("positions", pa.list_(pa.int32())))
+
 
 def _run_to_row(term: str, bucket: int, rng: int, run: EncodedRun) -> dict:
     return {
@@ -112,7 +114,8 @@ def _row_to_run(row) -> EncodedRun:
 
 def spimi_encode_batch(batch: pa.Table, *, doclens_dir: str,
                        num_buckets: int, doc_range_size: int,
-                       from_html: bool = False) -> pa.Table:
+                       from_html: bool = False,
+                       store_positions: bool = False) -> pa.Table:
     """SPIMI stage body: (doc_id, text|html) batch -> compressed posting
     runs, one run per (term, batch).
 
@@ -148,18 +151,21 @@ def spimi_encode_batch(batch: pa.Table, *, doclens_dir: str,
             lo = 0
             for hi in list(jumps) + [len(doc_ids)]:
                 parts.append(_encode_part(batch.slice(lo, hi - lo), doclens_dir,
-                                          num_buckets, doc_range_size, from_html))
+                                          num_buckets, doc_range_size, from_html,
+                                          store_positions))
                 lo = hi
             return pa.concat_tables(parts).sort_by(
                 [("bucket", "ascending"), ("term", "ascending")])
-    return _encode_part(batch, doclens_dir, num_buckets, doc_range_size, from_html)
+    return _encode_part(batch, doclens_dir, num_buckets, doc_range_size,
+                        from_html, store_positions)
 
 
 _CONTIG_GAP = 4096
 
 
 def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
-                 doc_range_size: int, from_html: bool = False) -> pa.Table:
+                 doc_range_size: int, from_html: bool = False,
+                 store_positions: bool = False) -> pa.Table:
     """Encode one doc-contiguous batch slice into run rows."""
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     toks = None
@@ -179,7 +185,8 @@ def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
 
     flat = toks.flatten()
     if len(flat) == 0:
-        return _RUN_SCHEMA.empty_table()
+        return (_RUN_SCHEMA_POS if store_positions
+                else _RUN_SCHEMA).empty_table()
     enc = flat.dictionary_encode()
     n_rows = len(doc_ids)
     term_ids = enc.indices.to_numpy(zero_copy_only=False)
@@ -203,9 +210,20 @@ def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
     dict_np = np.asarray(enc.dictionary.to_pandas(), dtype=object)
     bucket_per_dict = term_bucket_of(dict_np, num_buckets)
 
+    positions_sorted = None
+    if store_positions:
+        # token offset within its document, sorted to align with the
+        # (term, doc) posting stream: lexsort primary=term, then doc,
+        # then in-doc position (ascending)
+        counts = (offsets[1:] - offsets[:-1])
+        tok_pos = (np.arange(len(term_ids), dtype=np.int64)
+                   - np.repeat(offsets[:-1], counts))
+        order = np.lexsort((tok_pos, doc_idx, term_ids))
+        positions_sorted = tok_pos[order].astype(np.int32)
     out = _encode_terms_vectorized(u_term, out_doc, tf, out_dl,
                                    enc.dictionary, bucket_per_dict,
-                                   doc_range_size)
+                                   doc_range_size,
+                                   positions=positions_sorted)
     # cluster by bucket so the per-bucket merge can prune row groups
     # (runs are written with small row groups; the merge reads only the
     # groups whose bucket-stat range matches)
@@ -222,7 +240,8 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
                              tf: np.ndarray, dl: np.ndarray,
                              dictionary, bucket_per_dict: np.ndarray,
                              doc_range_size: int,
-                             block_size: int = 128) -> pa.Table:
+                             block_size: int = 128,
+                             positions: np.ndarray | None = None) -> pa.Table:
     """Encode ALL terms' posting runs of one batch in a handful of numpy
     passes (no per-term Python): block segmentation, per-block widths via
     reduceat, grouped bit-packing (blocks sharing (len, width) pack in
@@ -320,7 +339,7 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
         return pa.ListArray.from_arrays(loff, pa.array(arr.astype(typ)))
 
     run_df = np.add.reduceat(b_len, r_bstarts)
-    return pa.table({
+    cols = {
         "term": dictionary.take(pa.array(run_term)),
         "bucket": pa.array(bucket_per_dict[run_term], type=pa.int32()),
         "rng": pa.array((b_first[r_bstarts] // doc_range_size).astype(np.int32)),
@@ -333,7 +352,23 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
         "block_last_doc": lst(b_last, np.int64),
         "block_max_tf": lst(b_maxtf + 1, np.int32),
         "block_min_dl": lst(b_mindl, np.int32),
-    }).cast(_RUN_SCHEMA)
+    }
+    if positions is None:
+        return pa.table(cols).cast(_RUN_SCHEMA)
+    # flat in-doc positions aligned with the (term, doc) posting stream;
+    # per-run slice boundaries = cumulative tf at each run's posting range
+    cum_tf = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf, out=cum_tf[1:])
+    # run r covers postings [t_starts[r], t_starts[r+1]) (one run per term
+    # within a batch part), so its positions slice is the cumulative-tf
+    # range at those boundaries
+    pos_off = np.zeros(len(r_bstarts) + 1, dtype=np.int64)
+    pos_off[:-1] = cum_tf[t_starts]
+    pos_off[-1] = cum_tf[-1]
+    cols["positions"] = pa.ListArray.from_arrays(
+        pa.array(pos_off, type=pa.int64()),
+        pa.array(positions.astype(np.int32)))
+    return pa.table(cols).cast(_RUN_SCHEMA_POS)
 
 
 _EXTRACT = HtmlExtract()
@@ -379,8 +414,9 @@ def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
     per-term Python fallback (decode, merge, re-encode) only triggers for
     the rare interleaved-range case.
     """
+    has_pos = "positions" in group.column_names
     if group.num_rows == 0:
-        return _RUN_SCHEMA.empty_table()
+        return (_RUN_SCHEMA_POS if has_pos else _RUN_SCHEMA).empty_table()
     group = group.sort_by([("term", "ascending"), ("rng", "ascending"),
                            ("first_doc", "ascending")])
     bucket = int(group["bucket"][0].as_py())
@@ -408,6 +444,9 @@ def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         return values, offs
 
+    pos_vals = pos_off = None
+    if has_pos:
+        pos_vals, pos_off = flat("positions", np.int32)
     bl_len, l_off = flat("block_len", np.int32)
     bl_offset, _ = flat("block_offset", np.int64)
     bl_first, _ = flat("block_first_doc", np.int64)
@@ -448,7 +487,7 @@ def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
         fs, fe = l_cum[s], l_cum[e]
         out_rng = int(rng_col[s]) if rng_col is not None else 0
         if chainable_term[ti]:
-            out_rows.append({
+            row = {
                 "term": terms[s],
                 "bucket": bucket,
                 "rng": out_rng,
@@ -461,7 +500,12 @@ def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
                 "block_last_doc": bl_last[fs:fe].tolist(),
                 "block_max_tf": bl_maxtf[fs:fe].tolist(),
                 "block_min_dl": bl_mindl[fs:fe].tolist(),
-            })
+            }
+            if has_pos:
+                # runs' positions concatenate in the same order as their
+                # postings (per-run flat slices are contiguous post-sort)
+                row["positions"] = pos_vals[pos_off[s]:pos_off[e]].tolist()
+            out_rows.append(row)
         else:
             # rare fallback: interleaved ranges -> decode, merge, re-encode
             from .codec import decode_run
@@ -485,8 +529,17 @@ def _merge_bucket_group(group: pa.Table, scope: str = "bucket") -> pa.Table:
                 np.repeat(r.block_min_dl, r.block_len) for r in runs])
             order = np.argsort(d, kind="stable")
             merged = encode_postings(d[order], t[order], dls[order])
-            out_rows.append(_run_to_row(terms[s], bucket, out_rng, merged))
-    return pa.Table.from_pylist(out_rows, schema=_RUN_SCHEMA)
+            row = _run_to_row(terms[s], bucket, out_rng, merged)
+            if has_pos:
+                # reorder per-posting position lists to the merged doc order
+                cum = np.zeros(len(t) + 1, dtype=np.int64)
+                np.cumsum(t, out=cum[1:])
+                flat_pos = pos_vals[pos_off[s]:pos_off[e]]
+                row["positions"] = np.concatenate(
+                    [flat_pos[cum[k]:cum[k + 1]] for k in order]).tolist()                     if len(order) else []
+            out_rows.append(row)
+    return pa.Table.from_pylist(
+        out_rows, schema=_RUN_SCHEMA_POS if has_pos else _RUN_SCHEMA)
 
 
 def build_index(pages_path: str, index_dir: str, *,
@@ -496,6 +549,7 @@ def build_index(pages_path: str, index_dir: str, *,
                 batch_size: int = 8192,
                 concurrency: int | tuple | None = None,
                 merge_scope: str = "bucket",
+                store_positions: bool = False,
                 overwrite: bool = False) -> dict:
     """Build the full index under ``index_dir``.  Returns the stats manifest.
 
@@ -536,7 +590,8 @@ def build_index(pages_path: str, index_dir: str, *,
                     doclens_dir=doclens_dir,
                     num_buckets=num_buckets,
                     doc_range_size=doc_range_size,
-                    from_html=from_html),
+                    from_html=from_html,
+                    store_positions=store_positions),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

@@ -101,6 +101,16 @@ class Phrase(Node):
         cand = Term(" ".join(toks)).mask(batch, ctx)
         if not cand.any():
             return cand
+        if ctx.reader is not None and getattr(ctx.reader, "has_positions", False) \
+                and ctx.id_col in batch.column_names:
+            # index-native phrase: positional adjacency, no text access
+            phrase_docs = _phrase_docs_from_positions(ctx.reader, toks)
+            doc_ids = batch[ctx.id_col].to_numpy(zero_copy_only=False)
+            if len(phrase_docs) == 0:
+                return np.zeros(len(doc_ids), dtype=bool)
+            pos = np.minimum(np.searchsorted(phrase_docs, doc_ids),
+                             len(phrase_docs) - 1)
+            return cand & (phrase_docs[pos] == doc_ids)
         # verify adjacency against the batch's own text
         texts = batch[ctx.text_col].to_pylist()
         out = np.zeros(batch.num_rows, dtype=bool)
@@ -191,6 +201,36 @@ class Or(Node):
 
     def terms(self):
         return [t for c in self.children for t in c.terms()]
+
+
+def _phrase_docs_from_positions(reader, toks: list[str]) -> np.ndarray:
+    """Sorted doc_ids containing the token sequence adjacently, computed
+    from the positional index: intersect per-term doc sets, then check
+    per-doc that positions(t0)+i intersects positions(t_i) for every i."""
+    per_term = []
+    for t in toks:
+        p = reader.positions(t)
+        if p is None:
+            return np.zeros(0, dtype=np.int64)
+        doc_ids, tfs, flat = p
+        starts = np.zeros(len(doc_ids) + 1, dtype=np.int64)
+        np.cumsum(tfs, out=starts[1:])
+        per_term.append((doc_ids, starts, flat))
+    cand = per_term[0][0]
+    for d, _, _ in per_term[1:]:
+        cand = np.intersect1d(cand, d)
+    out = []
+    for doc in cand:
+        base = None
+        for i, (d, starts, flat) in enumerate(per_term):
+            j = int(np.searchsorted(d, doc))
+            pos = flat[starts[j]:starts[j + 1]].astype(np.int64) - i
+            base = pos if base is None else np.intersect1d(base, pos)
+            if len(base) == 0:
+                break
+        if base is not None and len(base):
+            out.append(int(doc))
+    return np.asarray(out, dtype=np.int64)
 
 
 def _lex(q: str) -> list[str]:

@@ -86,3 +86,37 @@ class IndexReader:
     def df(self, term: str) -> int:
         run = self.postings(term)
         return run.n_postings if run is not None else 0
+
+    @property
+    def has_positions(self) -> bool:
+        if not hasattr(self, "_has_pos"):
+            paths = glob.glob(os.path.join(self.segments_dir, "**",
+                                           "*.parquet"), recursive=True)
+            self._has_pos = bool(paths) and "positions" in \
+                pq.read_schema(paths[0]).names
+        return self._has_pos
+
+    def positions(self, term: str):
+        """(doc_ids, tfs, flat_positions) for a positional index, else
+        None.  flat_positions splits per posting by tf (in-doc token
+        offsets, ascending)."""
+        if not self.has_positions:
+            return None
+        bucket = zlib.crc32(term.encode()) % self.num_buckets
+        paths = glob.glob(os.path.join(self.segments_dir, f"bucket={bucket}",
+                                       "**", "*.parquet"), recursive=True)
+        rows = []
+        for p in paths:
+            t = pq.read_table(p, filters=[("term", "=", term)])
+            rows.extend(t.to_pylist())
+        if not rows:
+            return None
+        rows.sort(key=lambda r: r["first_doc"])
+        from ..index.codec import concat_runs, decode_run
+
+        run = concat_runs([_row_to_run(r) for r in rows])
+        doc_ids, tfs = decode_run(run)
+        flat_pos = np.concatenate(
+            [np.asarray(r["positions"], dtype=np.int32) for r in rows]) \
+            if rows else np.zeros(0, dtype=np.int32)
+        return doc_ids, tfs, flat_pos
