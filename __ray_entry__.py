@@ -273,9 +273,31 @@ def oracle_sql() -> dict[str, str]:
                        FROM events
                        WHERE value IS NOT NULL AND event_type IS NOT NULL),
                  s AS (SELECT event_type,
-                              median(metric) + 1.0 * mad(metric) AS frontier
+                              -- MAD==0 falls back to the stdev frontier
+                              -- with sensitivity 1 (frontier.py:32-38,
+                              -- mirroring reference utils.py:336-338)
+                              CASE WHEN mad(metric) = 0
+                                   THEN avg(metric) + stddev_pop(metric)
+                                   ELSE median(metric) + 1.0 * mad(metric)
+                              END AS frontier
                        FROM m GROUP BY event_type)
             SELECT m.event_id, m.event_type AS aggregator, m.metric
+            FROM m JOIN s USING (event_type)
+            WHERE m.metric > s.frontier""",
+        "metrics_entropy_outliers": """
+            WITH m0 AS (SELECT event_id, event_type, props FROM events
+                        WHERE props IS NOT NULL AND event_type IS NOT NULL),
+                 ch AS (SELECT event_id, unnest(string_split(props, '')) AS c
+                        FROM m0),
+                 ent AS (SELECT event_id, entropy(c) AS metric
+                         FROM ch GROUP BY event_id),
+                 m AS (SELECT m0.event_id, m0.event_type, ent.metric
+                       FROM m0 JOIN ent USING (event_id)),
+                 s AS (SELECT event_type,
+                              avg(metric) + 2 * stddev_pop(metric) AS frontier
+                       FROM m GROUP BY event_type)
+            SELECT m.event_id, m.event_type AS aggregator,
+                   round(m.metric, 6) AS metric
             FROM m JOIN s USING (event_type)
             WHERE m.metric > s.frontier""",
         "sudden_appearance": _sudden_appearance_sql(),
@@ -308,7 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": r"""
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
-                '(^|[^a-z0-9])spark merge([^a-z0-9]|$)')""",
+                '(^|[^a-z0-9])spark[^a-z0-9]+merge([^a-z0-9]|$)')""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups
@@ -342,7 +364,75 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]')) AS bpe_tokens
             FROM documents""",
+        # exhaustive pairwise Jaccard >= threshold: the LSH pipeline is
+        # exact on any corpus where its recall is 1 (verification is exact
+        # set Jaccard; bands=32/r=2 captures s>=0.5 pairs w.p. ~1-3e-5 —
+        # validated exhaustively at sf0.001/sf0.01)
+        "dedup_minhash": f"""
+            WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            idx AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+                    FROM tok WHERE len(toks) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM idx
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(toks, ' ')
+              FROM tok WHERE len(toks) BETWEEN 1 AND 2),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pair_inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pair_inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5""",
+        "langid": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            s AS (SELECT doc_id,
+              len(list_filter(toks, x -> list_contains(
+                ['the','and','of','to','in','is','that','it','for','was'], x))) AS en,
+              len(list_filter(toks, x -> list_contains(
+                ['de','het','een','en','van','ik','dat','die','niet','zijn'], x))) AS nl,
+              len(list_filter(toks, x -> list_contains(
+                ['le','la','les','et','de','un','une','est','que','pour'], x))) AS fr,
+              len(list_filter(toks, x -> list_contains(
+                ['der','die','das','und','ist','nicht','ein','eine','mit','von'], x))) AS de
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, nl, fr, de) = 0 THEN 'und'
+                        WHEN en >= nl AND en >= fr AND en >= de THEN 'en'
+                        WHEN nl >= fr AND nl >= de THEN 'nl'
+                        WHEN fr >= de THEN 'fr'
+                        ELSE 'de' END AS lang_pred
+            FROM s""",
+        "enrichment": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 f AS (SELECT event_type, median(n) * (50 / 100.0) AS frontier
+                       FROM c GROUP BY 1)
+            SELECT e.event_id, 1 AS total_outliers, 'outlier' AS tags
+            FROM events e JOIN c USING (event_type, user_id)
+                          JOIN f USING (event_type)
+            WHERE c.n < f.frontier""",
+        "whitelist_housekeeping": """
+            WITH c AS (SELECT event_type, user_id, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 f AS (SELECT event_type, median(n) * (50 / 100.0) AS frontier
+                       FROM c GROUP BY 1),
+                 flagged AS (
+                   SELECT e.event_id, e.event_type
+                   FROM events e JOIN c USING (event_type, user_id)
+                                 JOIN f USING (event_type)
+                   WHERE c.n < f.frontier
+                   ORDER BY e.event_id LIMIT 50)
+            SELECT event_id, 1 AS total_outliers
+            FROM flagged WHERE event_type <> 'error'""",
         # no oracle (non-SQL-expressible / approximate / stubbed):
-        # dedup_minhash, dedup_simhash, ann_ivf, embedding_dups, langid,
-        # fingerprints, media_features
+        # dedup_simhash, ann_ivf, embedding_dups, fingerprints,
+        # word2vec_outliers, media_features
     }

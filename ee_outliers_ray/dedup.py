@@ -1,17 +1,22 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All stages are Ray-Data-native: vectorized signature computation inside
-``map_batches``, candidate generation via a ``groupby`` on bucket keys
-(the only shuffle), then pairwise verification.  The reference's only
-dedup is exact within-group drop_duplicates
+All stages are Ray-Data-native and fully vectorized: signature kernels
+(`hashing.py`) run numpy over whole Arrow batches (no per-token Python),
+candidate generation is one ``groupby`` on bucket keys (the only
+shuffle), and pair verification fetches per-candidate payloads from a
+hash-sharded actor store (`lookup.py`) — the corpus is never broadcast
+or materialized on the driver.
+
+The reference's only dedup is exact within-group drop_duplicates
 (/root/reference/app/analyzers/word2vec.py:240-242) and the notifier's
 bounded summary dedup (/root/reference/app/helpers/notifier.py:44-48);
 the near-dup family is the standard web-scale extension.
 
-Scale notes: candidate pairs are emitted per bucket group (bounded by
-band width); verification joins text via a broadcast store at sandbox
-scale — at 100 TB that broadcast becomes a doc-partitioned lookup join
-keyed by doc_id (same code shape, sharded store).
+Scale notes: the exploded (doc_id, bucket) table is materialized once so
+the crowded-bucket aggregate and pair generation share one signature
+pass; at extreme scale swap the materialize for a parquet checkpoint.
+Candidate-id sets (bounded by duplicate clusters, not corpus size) are
+the only driver-side state.
 """
 
 from __future__ import annotations
@@ -21,10 +26,19 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .tokenizer import tokenize
-
-_MERSENNE = (1 << 61) - 1
+from .hashing import (
+    _C,
+    _MERSENNE,
+    hash_string_array,
+    minhash_signatures,
+    mix64,
+    shingle_hashes,
+    simhash_from_tokens,
+    unique_per_segment,
+)
+from .tokenizer import tokenize, tokenize_column
 
 
 def content_hash_md5(texts) -> list[str]:
@@ -57,8 +71,7 @@ def filter_crowded_buckets(buckets_ds, key_cols: list[str]):
 
     Bucket sizes come from a vectorized grouped aggregate; the crowded-key
     set (bounded by the number of duplicate clusters, tiny relative to the
-    corpus) is broadcast into a map_batches membership filter.  This
-    avoids running per-group Python over millions of singleton buckets.
+    corpus) is broadcast into a vectorized ``pc.is_in`` membership filter.
     """
     import ray
     from ray.data.aggregate import Count
@@ -69,13 +82,23 @@ def filter_crowded_buckets(buckets_ds, key_cols: list[str]):
     buckets_ds = buckets_ds.materialize()
     sizes = buckets_ds.groupby(key_cols).aggregate(Count(alias_name="n"))
     crowded = sizes.filter(expr="n >= 2").select_columns(key_cols).to_pandas()
-    crowded_set = frozenset(map(tuple, crowded.itertuples(index=False)))
-    ref = ray.put(crowded_set)
+
+    def _key_arr(tbl_or_df, from_pandas: bool):
+        cols = []
+        for c in key_cols:
+            a = pa.Array.from_pandas(tbl_or_df[c]) if from_pandas \
+                else tbl_or_df[c]
+            cols.append(pc.cast(a, pa.string()))
+        return cols[0] if len(cols) == 1 else \
+            pc.binary_join_element_wise(*cols, "\x1f")
+
+    value_set = _key_arr(crowded, from_pandas=True)
+    ref = ray.put(value_set)
 
     def f(b: pa.Table) -> pa.Table:
-        keys = list(zip(*(b[c].to_pylist() for c in key_cols)))
-        cset = ray.get(ref)
-        return b.filter(pa.array([k in cset for k in keys]))
+        vs = ray.get(ref)
+        return b.filter(pc.is_in(_key_arr(b, from_pandas=False),
+                                 value_set=vs))
 
     return buckets_ds.map_batches(f, batch_format="pyarrow")
 
@@ -94,100 +117,29 @@ def distinct_pairs(cand_ds, extra_max_col: str | None = None):
     return out.select_columns(cols)
 
 
+# ---------------------------------------------------------------------------
+# vectorized shingle / signature kernels (shared by minhash + verification)
+# ---------------------------------------------------------------------------
+
+def batch_shingle_hashes(texts: pa.Array, k: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Flat 64-bit k-gram shingle hashes + per-doc offsets for a string
+    column — tokenize (vectorized), hash every token once (vectorized
+    poly hash), rolling-combine into k-grams.  Duplicates are kept (min
+    is idempotent; callers needing sets use ``unique_per_segment``)."""
+    toks = tokenize_column(texts)
+    th = hash_string_array(toks.flatten())
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return shingle_hashes(th, offsets, k)
+
+
 def _shingles(text: str, k: int) -> set:
+    """Exact token-tuple shingle set (reference kernel for tests and the
+    SQL oracle; the pipeline uses the hashed form)."""
     toks = tokenize(text)
     if len(toks) < k:
         return {tuple(toks)} if toks else set()
     return {tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)}
-
-
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    out = np.fromiter(
-        (hash_shingle(s) for s in _shingles(text, k)), dtype=np.uint64)
-    return out
-
-
-def hash_shingle(s: tuple) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(" ".join(s).encode(), digest_size=8).digest(), "little")
-
-
-class MinHasher:
-    """Stateful actor stage: seeded permutations built once per actor."""
-
-    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7,
-                 text_col: str = "text", id_col: str = "doc_id"):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.num_perm = num_perm
-        self.k = shingle_k
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
-        if len(h) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        # (num_perm, n_shingles) universal hash, min per row
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
-
-    def __call__(self, b: pa.Table) -> pa.Table:
-        ids = b[self.id_col].to_pylist()
-        sigs = [self.signature(t) for t in b[self.text_col].to_pylist()]
-        return pa.table({
-            self.id_col: pa.array(ids),
-            "signature": pa.array([s.tolist() for s in sigs],
-                                  type=pa.list_(pa.uint64())),
-        })
-
-
-def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 3, seed: int = 7,
-                           text_col: str = "text", id_col: str = "doc_id"):
-    """MinHash + LSH banding: signatures (actor pool) -> explode to
-    (band_id, band_hash, doc_id) -> groupby band bucket -> candidate pairs."""
-    rows_per_band = num_perm // bands
-
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
-                                   seed=seed, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=2)
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
-        sig = np.array(b["signature"].to_pylist(), dtype=np.uint64)
-        n = len(ids)
-        band_ids, band_hashes, out_ids = [], [], []
-        for bi in range(bands):
-            chunk = sig[:, bi * rows_per_band:(bi + 1) * rows_per_band]
-            hh = [hashlib.blake2b(chunk[i].tobytes(), digest_size=8)
-                  .hexdigest() for i in range(n)]
-            band_ids.extend([bi] * n)
-            band_hashes.extend(hh)
-            out_ids.extend(ids.tolist())
-        return pa.table({"band_id": pa.array(band_ids, type=pa.int32()),
-                         "band_hash": pa.array(band_hashes),
-                         id_col: pa.array(out_ids, type=pa.int64())})
-
-    buckets = filter_crowded_buckets(
-        sigs.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_hash"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        out = [(ids[i], ids[j]) for i in range(len(ids))
-               for j in range(i + 1, len(ids))]
-        return pd.DataFrame(out, columns=["id_a", "id_b"]) if out else \
-            pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                          "id_b": pd.Series(dtype=np.int64)})
-
-    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    # candidates may repeat across bands -> vectorized distinct
-    return distinct_pairs(cand)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -199,62 +151,187 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      text_store: dict | None = None, **lsh_kw):
-    """Full near-dup pipeline: LSH candidates verified with exact Jaccard.
+class MinHasher:
+    """Stateful actor stage: seeded permutations built once per actor.
+    Emits the LSH band buckets directly: (doc_id, bucket) rows, one per
+    band, for every document with at least one shingle."""
 
-    ``text_store``: id -> text mapping; broadcast once via ray.put at
-    scale (doc-partitioned lookup at 100 TB)."""
+    def __init__(self, num_perm: int = 64, bands: int = 32,
+                 shingle_k: int = 3, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature_matrix(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(ndoc, num_perm) signatures + shingle count per doc."""
+        sh, sh_off = batch_shingle_hashes(texts, self.k)
+        sig = minhash_signatures(sh, sh_off, self.a, self.b)
+        return sig, (sh_off[1:] - sh_off[:-1])
+
+    def band_buckets(self, sig: np.ndarray) -> np.ndarray:
+        """(ndoc, bands) uint64 bucket keys: per-band polynomial combine
+        of the band's signature rows, salted by band index."""
+        ndoc = len(sig)
+        r = self.rows_per_band
+        out = np.empty((ndoc, self.bands), dtype=np.uint64)
+        powers = np.empty(r, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            powers[0] = 1
+            for j in range(1, r):
+                powers[j] = powers[j - 1] * _C
+            for bi in range(self.bands):
+                chunk = sig[:, bi * r:(bi + 1) * r]
+                acc = (chunk * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                out[:, bi] = mix64(acc ^ np.uint64(bi + 1))
+        return out
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids = b[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig, n_shingles = self.signature_matrix(b[self.text_col])
+        keep = n_shingles > 0  # empty docs have no shingles -> no buckets
+        ids, sig = ids[keep], sig[keep]
+        bh = self.band_buckets(sig)
+        # int64 reinterpret: Ray's groupby/sort key path round-trips
+        # through signed ints; the bit pattern is what matters
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.bands)),
+            "bucket": pa.array(bh.reshape(-1).view(np.int64)),
+        })
+
+
+def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 32,
+                           shingle_k: int = 3, seed: int = 7,
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """MinHash + LSH banding: vectorized signatures+banding (actor pool)
+    -> groupby bucket -> candidate pairs.  bands=32 over 64 perms (r=2)
+    keeps recall high down to Jaccard ~0.5; verification prunes the extra
+    candidates."""
+    buckets = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   shingle_k=shingle_k, seed=seed,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=2)
+
+    buckets = filter_crowded_buckets(buckets, ["bucket"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    # candidates may repeat across bands -> vectorized distinct
+    return distinct_pairs(cand)
+
+
+def candidate_id_filter(ds, cand_ids: np.ndarray, id_col: str):
+    """Prune the corpus to candidate docs with a vectorized membership
+    filter (only the id SET crosses the driver; at corpus-scale candidate
+    counts swap this for a partitioned hash_join on id)."""
     import ray
 
-    cand = minhash_lsh_candidates(ds, shingle_k=shingle_k, text_col=text_col,
-                                  id_col=id_col, **lsh_kw)
-    if text_store is None:
-        store_df = ds.select_columns([id_col, text_col]).to_pandas()
-        text_store = dict(zip(store_df[id_col], store_df[text_col]))
-    store_ref = ray.put(text_store)
-    k, thr = shingle_k, threshold
+    ref = ray.put(pa.array(np.asarray(cand_ids, dtype=np.int64)))
 
-    # stateless tasks (not an actor pool): a second pool in the same
-    # pipeline would pre-reserve CPUs alongside the MinHasher pool and can
-    # starve the shuffle on small clusters; ray.get of the broadcast store
-    # is zero-copy from the local object store per task
+    def f(b: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        return b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()),
+                                 value_set=vs))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_shards: int = 4, **lsh_kw):
+    """Full near-dup pipeline: LSH candidates verified with exact
+    (hashed-shingle-set) Jaccard.
+
+    Verification state is a hash-sharded actor store of candidate docs'
+    sorted-unique shingle hashes — built distributed (map tasks push to
+    shards), fetched per verify batch.  No corpus text ever reaches the
+    driver or a broadcast."""
+    from .lookup import ShardedStore
+    from .functions import duck_round
+
+    cand = minhash_lsh_candidates(ds, shingle_k=shingle_k, text_col=text_col,
+                                  id_col=id_col, **lsh_kw).materialize()
+
+    id_df = cand.to_pandas()
+    if id_df.empty:
+        return cand
+    cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
+                                         id_df["id_b"].to_numpy(np.int64)]))
+
+    def make_kv(b: pa.Table):
+        sh, off = batch_shingle_hashes(b[text_col], shingle_k)
+        usha, uoff = unique_per_segment(sh, off)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, [usha[uoff[i]:uoff[i + 1]] for i in range(len(ids))]
+
+    store = ShardedStore(num_shards).build(
+        candidate_id_filter(ds.select_columns([id_col, text_col]),
+                            cand_ids, id_col),
+        make_kv)
+    thr = threshold
+
     def verify(b: pa.Table) -> pa.Table:
-        store = ray.get(store_ref)
-        ja = [ngram_jaccard(store[a], store[bb], k)
-              for a, bb in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist())]
-        out = b.append_column("jaccard", pa.array(np.round(ja, 6)))
-        return out.filter(pa.array([j >= thr for j in ja]))
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = store.get_many(np.concatenate([ia, ib]))
+        ja = np.empty(len(ia), dtype=np.float64)
+        for i in range(len(ia)):
+            sa, sb = sets.get(int(ia[i])), sets.get(int(ib[i]))
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                ja[i] = 1.0 if (sa is not None and sb is not None) else 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            ja[i] = inter / (len(sa) + len(sb) - inter)
+        out = b.append_column("jaccard", pa.array(duck_round(ja, 6)))
+        return out.filter(pa.array(ja >= thr))
 
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
 class SimHasher:
-    """64-bit SimHash over token unigrams (stateful: seeded projections)."""
+    """64-bit SimHash over token unigrams — vectorized: one poly-hash of
+    every token in the batch, bitwise majority per doc via chunked
+    reduceat (hashing.simhash_from_tokens)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     @staticmethod
+    def simhash_column(texts: pa.Array) -> np.ndarray:
+        toks = tokenize_column(texts)
+        th = hash_string_array(toks.flatten())
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return simhash_from_tokens(th, offsets)
+
+    @staticmethod
     def simhash64(text: str) -> int:
-        toks = tokenize(text)
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        return int(sum((1 << i) for i in range(64) if acc[i] > 0))
+        """Single-string reference path (tests); identical to the batch
+        kernel by construction."""
+        out = SimHasher.simhash_column(pa.array([text]))
+        return int(out[0])
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        sh = [self.simhash64(t) for t in b[self.text_col].to_pylist()]
+        sh = self.simhash_column(b[self.text_col])
         return pa.table({
             self.id_col: b[self.id_col],
-            "simhash": pa.array(np.array(sh, dtype=np.uint64)),
+            "simhash": pa.array(sh),
         })
 
 
@@ -277,19 +354,20 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
     width = 64 // hamming_bands
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         sh = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        rows_i, rows_b, rows_h, rows_s = [], [], [], []
+        n = len(ids)
+        mask = np.uint64((1 << width) - 1)
+        out_i = np.tile(ids, hamming_bands)
+        out_b = np.repeat(np.arange(hamming_bands, dtype=np.int32), n)
+        out_v = np.empty(n * hamming_bands, dtype=np.uint64)
         for bi in range(hamming_bands):
-            band = (sh >> np.uint64(bi * width)) & np.uint64((1 << width) - 1)
-            rows_i.extend(ids.tolist())
-            rows_b.extend([bi] * len(ids))
-            rows_h.extend(band.tolist())
-            rows_s.extend(sh.tolist())
-        return pa.table({id_col: pa.array(rows_i, type=pa.int64()),
-                         "band_id": pa.array(rows_b, type=pa.int32()),
-                         "band_val": pa.array(rows_h, type=pa.uint64()),
-                         "simhash": pa.array(rows_s, type=pa.uint64())})
+            out_v[bi * n:(bi + 1) * n] = \
+                (sh >> np.uint64(bi * width)) & mask
+        return pa.table({id_col: pa.array(out_i),
+                         "band_id": pa.array(out_b),
+                         "band_val": pa.array(out_v),
+                         "simhash": pa.array(np.tile(sh, hamming_bands))})
 
     buckets = filter_crowded_buckets(
         sigs.map_batches(explode, batch_format="pyarrow"),

@@ -13,18 +13,18 @@ here they are explicit).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash_any_array
 
 
-def _bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
-    # deterministic across processes (no PYTHONHASHSEED dependence)
-    return np.fromiter(
-        (zlib.crc32(str(v).encode()) % num_buckets for v in values),
-        dtype=np.int32, count=len(values))
+def _bucket_of(col: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    # deterministic across processes (no PYTHONHASHSEED dependence):
+    # vectorized 64-bit mix of the key column (hashing.hash_any_array)
+    return (hash_any_array(col) % np.uint64(num_buckets)).astype(np.int32)
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, key: str, *,
@@ -76,13 +76,12 @@ def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
         def f(b: pa.Table) -> pa.Table:
             if rename:
                 b = b.rename_columns([rename[n] for n in b.column_names])
-            keys = b[key].to_numpy(zero_copy_only=False)
             # pad to the union schema so both sides share one layout
             cols = {}
             for name, typ in all_fields.items():
                 cols[name] = b[name] if name in b.column_names \
                     else pa.nulls(b.num_rows, typ)
-            cols["_bucket"] = pa.array(_bucket_of(keys, num_buckets))
+            cols["_bucket"] = pa.array(_bucket_of(b[key], num_buckets))
             cols["_side"] = pa.array([side] * b.num_rows)
             return pa.table(cols)
         return f
@@ -101,16 +100,24 @@ def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
     return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")
 
 
+def _membership_mask(b: pa.Table, key_col: str, value_set: pa.Array):
+    col = b[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type != value_set.type:
+        col = pc.cast(col, value_set.type)
+    return pc.is_in(col, value_set=value_set)
+
+
 def semi_join(ds, keys: set, key_col: str):
-    """Broadcast semi-join: keep rows whose key is in ``keys``."""
+    """Broadcast semi-join: keep rows whose key is in ``keys`` —
+    vectorized ``pc.is_in`` against a broadcast value set."""
     import ray
 
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(pa.array(list(keys)))
 
     def f(b: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        col = b[key_col].to_pylist()
-        return b.filter(pa.array([v in ks for v in col]))
+        return b.filter(_membership_mask(b, key_col, ray.get(ref)))
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -120,11 +127,10 @@ def anti_join(ds, keys: set, key_col: str):
     reference's already-tagged exclusion, Q8 simplequery.py:26-56)."""
     import ray
 
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(pa.array(list(keys)))
 
     def f(b: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        col = b[key_col].to_pylist()
-        return b.filter(pa.array([v not in ks for v in col]))
+        mask = _membership_mask(b, key_col, ray.get(ref))
+        return b.filter(pc.invert(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")

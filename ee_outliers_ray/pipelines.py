@@ -209,16 +209,18 @@ def segment_revenue(sf_dir: str):
 
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
         .to_pandas()
-    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_by_key = ray.put(pd.Series(cust["c_mktsegment"].to_numpy(),
+                                   index=cust["c_custkey"].to_numpy()))
 
     class JoinSeg:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.lookup: pd.Series = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = pa.array([self.lookup.get(int(x)) for x in keys])
-            return b.append_column("c_mktsegment", seg)
+            # vectorized dictionary gather (no per-row dict lookups)
+            seg = self.lookup.reindex(keys).to_numpy()
+            return b.append_column("c_mktsegment", pa.array(seg))
 
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(JoinSeg, fn_constructor_kwargs={"ref": seg_by_key},
@@ -342,15 +344,19 @@ def terms_across_outliers(sf_dir: str):
 
 
 def metrics_entropy_outliers(sf_dir: str):
-    """metrics model with the shannon-entropy kernel (M7) over props
-    (rows-only: per-char entropy is not practical in SQL)."""
+    """metrics model with the shannon-entropy kernel (M7) over props;
+    oracle = DuckDB's ``entropy()`` aggregate over the char distribution.
+    The metric column is rounded (6) on both sides — entropy is a
+    computed float whose last ulp differs across engines."""
     from .models.metrics import metrics_model
 
     ds = read(sf_dir, "events", columns=["event_id", "event_type", "props"])
     out = metrics_model(ds, "event_type", "props", metric="entropy",
                         trigger_method="stdev", trigger_sensitivity=2,
                         trigger_on="high")
-    return _metrics_out(out)
+    df = _metrics_out(out)
+    df["metric"] = duck_round(df["metric"], ROUND_SCORE)
+    return df
 
 
 def terms_within_median(sf_dir: str):
@@ -466,15 +472,10 @@ def ann_cosine(sf_dir: str, k: int = 10):
 def ann_ivf(sf_dir: str, k: int = 10):
     """IVF-probed ANN (approximate; rows-only check — recall tested in
     pytest against the brute-force baseline)."""
-    import pyarrow.parquet as pq
-
     from .similarity import IvfIndex
 
-    sample = np.array(
-        pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"])
-        ["embedding"].to_pylist(), dtype=np.float64)
-    idx = IvfIndex(n_lists=8).fit(sample)
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = IvfIndex(n_lists=8).fit_dataset(ds, max_sample=4096)
     return idx.probe_topk(idx.assign_column(ds), _query_embedding(sf_dir), k=k)
 
 
@@ -652,7 +653,9 @@ def whitelist_housekeeping(sf_dir: str):
     from .enrich import apply_outliers, remove_whitelisted_outliers
     from .models.whitelist import Whitelist
 
-    flagged = terms_within_median(sf_dir).head(50)
+    # deterministic slice: smallest 50 event_ids (map_groups output order
+    # is scheduling-dependent)
+    flagged = terms_within_median(sf_dir).sort_values("event_id").head(50)
     entries = {
         int(r["event_id"]): [{
             "type": "rare", "reason": "rarely seen target",

@@ -65,6 +65,29 @@ class IvfIndex:
         self.iters = iters
         self.centroids: np.ndarray | None = None
 
+    def fit_dataset(self, ds, vec_col: str = "embedding",
+                    max_sample: int = 4096) -> "IvfIndex":
+        """Fit on a bounded deterministic sample drawn distributed — a
+        per-batch seeded reservoir-style thinning keeps at most
+        ``max_sample`` vectors total; the full table never reaches the
+        driver."""
+        seed = self.seed
+
+        def thin(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            # deterministic per-batch thinning: keep a slice proportional
+            # to the batch (seeded by batch content length), upper-bounded
+            rng = np.random.default_rng(seed + n)
+            keep = min(n, max(1, max_sample // 64))
+            idx = np.sort(rng.choice(n, size=keep, replace=False))
+            return b.take(pa.array(idx))
+
+        sample_tbl = ds.select_columns([vec_col]) \
+            .map_batches(thin, batch_format="pyarrow") \
+            .limit(max_sample).to_pandas()
+        sample = np.array(sample_tbl[vec_col].tolist(), dtype=np.float64)
+        return self.fit(sample)
+
     def fit(self, sample: np.ndarray) -> "IvfIndex":
         rng = np.random.default_rng(self.seed)
         x = _norm(np.asarray(sample, dtype=np.float64))
@@ -110,8 +133,10 @@ class IvfIndex:
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
                         bands: int = 4, seed: int = 13,
                         vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Cosine near-dup pairs: random-hyperplane signatures -> band buckets
-    -> exact cosine verify inside each bucket group."""
+    """Cosine near-dup pairs: random-hyperplane signatures -> band
+    buckets (ids only — float vectors are NOT replicated through the
+    shuffle) -> candidate pairs -> exact cosine verify against a
+    hash-sharded vector store of the candidate ids."""
     rng = np.random.default_rng(seed)
     width = n_planes // bands
 
@@ -122,51 +147,78 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
         def __call__(self, b: pa.Table) -> pa.Table:
             m = _norm(_batch_mat(b, vec_col))
             bits = (m @ self.planes.T) > 0
-            rows_id, rows_band, rows_val, rows_vec = [], [], [], []
-            ids = b[id_col].to_pylist()
-            vecs = b[vec_col].to_pylist()
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ids)
+            out_val = np.empty(n * bands, dtype=np.int64)
+            pow2 = 1 << np.arange(width)
             for bi in range(bands):
-                chunk = bits[:, bi * width:(bi + 1) * width]
-                vals = chunk @ (1 << np.arange(width))
-                rows_id.extend(ids)
-                rows_band.extend([bi] * len(ids))
-                rows_val.extend(vals.tolist())
-                rows_vec.extend(vecs)
+                out_val[bi * n:(bi + 1) * n] = \
+                    bits[:, bi * width:(bi + 1) * width] @ pow2
             return pa.table({
-                id_col: pa.array(rows_id, type=pa.int64()),
-                "band_id": pa.array(rows_band, type=pa.int32()),
-                "band_val": pa.array(rows_val, type=pa.int64()),
-                vec_col: pa.array(rows_vec, type=pa.list_(pa.float32())),
+                id_col: pa.array(np.tile(ids, bands)),
+                "band_id": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n)),
+                "band_val": pa.array(out_val),
             })
 
     planes = rng.standard_normal(
         (n_planes, _first_dim(ds, vec_col)))
-    from .dedup import distinct_pairs, filter_crowded_buckets
+    from .dedup import candidate_id_filter, distinct_pairs, \
+        filter_crowded_buckets
+    from .lookup import ShardedStore
 
     buckets = filter_crowded_buckets(
         ds.map_batches(Signer, fn_constructor_kwargs={"planes": planes},
                        batch_format="pyarrow", concurrency=2),
         ["band_id", "band_val"])
 
-    thr = threshold
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
+        ids = np.unique(g[id_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64),
-                                 "cosine": pd.Series(dtype=np.float64)})
-        m = _norm(np.array(g[vec_col].tolist(), dtype=np.float64))
-        sims = m @ m.T
+                                 "id_b": pd.Series(dtype=np.int64)})
         ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= thr
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                             "cosine": duck_round(sims[ia, ib][keep], 6)})
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = buckets.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas")
-    return distinct_pairs(cand, extra_max_col="cosine")
+    cand = distinct_pairs(buckets.groupby(["band_id", "band_val"])
+                          .map_groups(pairs, batch_format="pandas")) \
+        .materialize()
+    id_df = cand.to_pandas()
+    if id_df.empty:
+        out = pa.table({"id_a": pa.array([], type=pa.int64()),
+                        "id_b": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64())})
+        import ray.data
+        return ray.data.from_arrow(out)
+    cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
+                                         id_df["id_b"].to_numpy(np.int64)]))
+
+    def make_kv(b: pa.Table):
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm(_batch_mat(b, vec_col))
+        return ids, [m[i] for i in range(len(ids))]
+
+    store = ShardedStore(4).build(
+        candidate_id_filter(ds.select_columns([id_col, vec_col]),
+                            cand_ids, id_col),
+        make_kv)
+    thr = threshold
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = store.get_many(np.concatenate([ia, ib]))
+        va = np.stack([vecs[int(i)] for i in ia])
+        vb = np.stack([vecs[int(i)] for i in ib])
+        sims = (va * vb).sum(axis=1)
+        keep = sims >= thr
+        return pa.table({
+            "id_a": pa.array(ia[keep]),
+            "id_b": pa.array(ib[keep]),
+            "cosine": pa.array(duck_round(sims[keep], 6)),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def _first_dim(ds, vec_col: str) -> int:

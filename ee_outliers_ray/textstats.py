@@ -1,16 +1,27 @@
 """Text analysis operators: language-id, quality scoring, token counting,
 document fingerprinting — vectorized map_batches stages over a text
-column (the training-data-pipeline layer on top of the tokenizer)."""
+column (the training-data-pipeline layer on top of the tokenizer).
+
+All kernels are batch-vectorized: token membership and lengths via
+pyarrow.compute, per-doc reductions via numpy reduceat, fingerprints via
+the shared 64-bit poly-hash kernels (hashing.py).  No per-row or
+per-char Python in any stage."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .functions import duck_round
-from .tokenizer import tokenize, tokenize_column
+from .hashing import combine_sequences, hash_string_array
+from .tokenizer import tokenize_column
 
-# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# tiny per-language stopword profiles for the stopword heuristic; dict
+# order is the tie-break order (first language reaching the max count
+# wins), mirrored by the SQL oracle's CASE ordering
 _LANG_STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
     "nl": {"de", "het", "een", "en", "van", "ik", "dat", "die", "niet", "zijn"},
@@ -22,37 +33,48 @@ _STOP_EN = _LANG_STOPWORDS["en"]
 
 # BPE-ish token split: word pieces, numbers, punctuation runs, whitespace
 # collapsed — a deterministic proxy for subword token counting.
-import re
-
 _BPE_RE = re.compile(r"[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]")
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_SEED = np.uint64(14695981039346656037)
+
+def _per_doc_sums(flat_vals: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum of flat token-level values per document (reduceat + empty-row
+    fix)."""
+    ndoc = len(offsets) - 1
+    if len(flat_vals) == 0:
+        return np.zeros(ndoc, dtype=flat_vals.dtype)
+    out = np.add.reduceat(
+        np.concatenate([flat_vals, flat_vals[:1] * 0]), offsets[:-1])[:ndoc]
+    out[offsets[:-1] == offsets[1:]] = 0
+    return out
 
 
 class LangId:
-    """Actor stage: stopword-profile language id (state: profiles)."""
+    """Actor stage: stopword-profile language id.  State (Arrow value
+    sets per language) built once per actor; scoring is one ``pc.is_in``
+    per language + a per-doc reduceat — no per-row Python."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.langs = list(_LANG_STOPWORDS)
+        self.value_sets = [pa.array(sorted(_LANG_STOPWORDS[lang]))
+                           for lang in self.langs]
         self.text_col = text_col
         self.id_col = id_col
 
-    def predict(self, text: str) -> str:
-        toks = tokenize(text)
-        if not toks:
-            return "und"
-        best, best_score = "und", 0
-        for lang, stops in self.profiles.items():
-            score = sum(1 for t in toks if t in stops)
-            if score > best_score:
-                best, best_score = lang, score
-        return best
-
     def __call__(self, b: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in b[self.text_col].to_pylist()]
+        toks = tokenize_column(b[self.text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        ndoc = len(offsets) - 1
+        scores = np.zeros((ndoc, len(self.langs)), dtype=np.int64)
+        for li, vs in enumerate(self.value_sets):
+            hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            scores[:, li] = _per_doc_sums(hit.astype(np.int64), offsets)
+        best = np.argmax(scores, axis=1)  # ties -> first language in order
+        preds = np.array(self.langs, dtype=object)[best]
+        if ndoc:
+            preds[scores.max(axis=1) == 0] = "und"
         return pa.table({self.id_col: b[self.id_col],
-                         "lang_pred": pa.array(preds)})
+                         "lang_pred": pa.array(preds, type=pa.string())})
 
 
 def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -65,36 +87,31 @@ def langid(ds, text_col: str = "text", id_col: str = "doc_id"):
 def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
                    round_to: int = 6):
     """Per-doc quality features: token count, mean token length, stopword
-    ratio, alpha ratio.  Vectorized over the batch token list array."""
+    ratio, alpha ratio.  Fully vectorized: token lengths/membership via
+    pyarrow.compute kernels, per-doc sums via reduceat, alpha counts via
+    a regex count kernel (definition matches the SQL oracle's
+    ``regexp_replace(text, '[^a-zA-Z]', ...)``)."""
+    stop_set = pa.array(sorted(_STOP_EN))
 
     def f(b: pa.Table) -> pa.Table:
         toks = tokenize_column(b[text_col])
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
-        flat = toks.flatten().to_pylist()
-        flat_len = np.fromiter((len(t) for t in flat), dtype=np.int64,
-                               count=len(flat))
-        flat_stop = np.fromiter((t in _STOP_EN for t in flat), dtype=np.int64,
-                                count=len(flat))
-        sums_len = np.zeros(len(counts))
-        sums_stop = np.zeros(len(counts))
+        flat = toks.flatten()
+        flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat_stop = pc.is_in(flat, value_set=stop_set) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums_len = _per_doc_sums(flat_len, offsets)
+        sums_stop = _per_doc_sums(flat_stop, offsets)
         nz = counts > 0
-        if len(flat):
-            sums_len = np.add.reduceat(
-                np.concatenate([flat_len, [0]]), offsets[:-1])[:len(counts)]
-            sums_stop = np.add.reduceat(
-                np.concatenate([flat_stop, [0]]), offsets[:-1])[:len(counts)]
-            empty = offsets[:-1] == offsets[1:]
-            sums_len[empty] = 0
-            sums_stop[empty] = 0
         mean_tok = np.where(nz, sums_len / np.maximum(counts, 1), 0.0)
         stop_ratio = np.where(nz, sums_stop / np.maximum(counts, 1), 0.0)
-        texts = b[text_col].to_pylist()
-        n_chars = np.fromiter((len(t) for t in texts), dtype=np.int64,
-                              count=len(texts))
-        n_alpha = np.fromiter(
-            (sum(c.isalpha() for c in t) for t in texts), dtype=np.int64,
-            count=len(texts))
+        text = pc.cast(b[text_col], pa.string())
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, "[a-zA-Z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         alpha_ratio = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
         return pa.table({
             id_col: b[id_col],
@@ -108,14 +125,15 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Whitespace + BPE-ish regex token counts (subword-count proxy)."""
+    """Whitespace + BPE-ish regex token counts (subword-count proxy).
+    Both counts are pyarrow regex-count kernels (no Python findall)."""
 
     def f(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64,
-                         count=len(texts))
-        bpe = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
-                          dtype=np.int64, count=len(texts))
+        text = pc.cast(b[text_col], pa.string())
+        ws = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bpe = pc.count_substring_regex(text, r"[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({id_col: b[id_col],
                          "ws_tokens": pa.array(ws),
                          "bpe_tokens": pa.array(bpe)})
@@ -124,20 +142,16 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Deterministic FNV-1a rolling fingerprint over the token stream
-    (document-level content fingerprint, order-sensitive)."""
-
-    def fp(text: str) -> int:
-        h = _FP_SEED
-        for t in tokenize(text):
-            for c in t.encode():
-                h = np.uint64((int(h) ^ c) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-            h = np.uint64((int(h) ^ 0x20) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-        return int(h)
+    """Deterministic order-sensitive 64-bit rolling fingerprint over the
+    token stream: every token poly-hashed once (vectorized), then a
+    position-weighted combine per document — one pass over the batch."""
 
     def f(b: pa.Table) -> pa.Table:
-        fps = [fp(t) for t in b[text_col].to_pylist()]
+        toks = tokenize_column(b[text_col])
+        th = hash_string_array(toks.flatten())
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = combine_sequences(th, offsets)
         return pa.table({id_col: b[id_col],
-                         "fingerprint": pa.array(np.array(fps, dtype=np.uint64))})
+                         "fingerprint": pa.array(fps)})
 
     return ds.map_batches(f, batch_format="pyarrow")
