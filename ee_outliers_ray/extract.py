@@ -13,8 +13,32 @@ Extraction is vectorized (pyarrow ``extract_regex``); no per-row Python.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def first_close_after(data: np.ndarray, row_ends: np.ndarray,
+                      abs_start: np.ndarray, close: bytes
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """For each row, the byte offset of the first occurrence of ``close``
+    at or after ``abs_start[i]`` and fully inside the row (end byte <
+    ``row_ends[i]``).  Vectorized: one boolean conjunction over the flat
+    buffer + a searchsorted.  Returns (valid mask, positions)."""
+    w = len(close)
+    if len(data) < w:
+        return np.zeros(len(abs_start), dtype=bool), np.zeros(
+            len(abs_start), dtype=np.int64)
+    m = np.ones(len(data) - w + 1, dtype=bool)
+    for j, byte in enumerate(close):
+        m &= data[j:len(data) - w + 1 + j] == byte
+    cand = np.flatnonzero(m)
+    j = np.searchsorted(cand, abs_start)
+    has = j < len(cand)
+    pos = cand[np.minimum(j, max(len(cand) - 1, 0))] if len(cand) else \
+        np.zeros(len(abs_start), dtype=np.int64)
+    valid = has & (pos + w <= row_ends)
+    return valid, pos
 
 
 class HtmlExtract:
@@ -46,27 +70,29 @@ class HtmlExtract:
 
     def _extract(self, html) -> pa.Array:
         """Substring-find + raw-buffer slice — byte-identical to the
-        regex `<p>(.*?)</p>` extraction (first <p>, first following </p>;
-        missing/reversed tags -> ""), measured ~3.6x faster.
-        find_substring returns BYTE offsets, so the numpy gather over the
-        string data buffer is correct for any utf8 content."""
-        import numpy as np
-
+        regex `<p>(.*?)</p>` extraction: first <p>, then the first </p>
+        occurring AT OR AFTER it (a stray </p> before the first <p> is
+        skipped, exactly like the regex); missing tags -> "".  Measured
+        ~3.6x faster than extract_regex.  find_substring returns BYTE
+        offsets, so the numpy gather over the string data buffer is
+        correct for any utf8 content."""
         s = pc.cast(html, pa.string())
         if isinstance(s, pa.ChunkedArray):
             s = s.combine_chunks()
         start = pc.find_substring(s, self.OPEN).to_numpy(zero_copy_only=False) \
             .astype(np.int64) + len(self.OPEN)
-        end = pc.find_substring(s, self.CLOSE).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
         offs = np.frombuffer(s.buffers()[1], dtype=np.int32)[
             s.offset: s.offset + len(s) + 1].astype(np.int64)
         data = np.frombuffer(s.buffers()[2], dtype=np.uint8) \
             if s.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
-        abs_start = offs[:-1] + start
-        lens = np.maximum(offs[:-1] + end - abs_start, 0)
-        # rows with a missing tag (find == -1) yield "" like the regex path
-        lens[(start - len(self.OPEN) < 0) | (end < 0)] = 0
+        data = data[offs[0]:offs[-1]]
+        rel = offs - offs[0]
+        abs_start = rel[:-1] + start
+        valid_close, close_pos = first_close_after(
+            data, rel[1:], abs_start, self.CLOSE.encode())
+        lens = np.where(valid_close, close_pos - abs_start, 0)
+        # rows with a missing open tag (find == -1) yield "" like regex
+        lens[start - len(self.OPEN) < 0] = 0
         new_off = np.zeros(len(s) + 1, dtype=np.int32)
         new_off[1:] = np.cumsum(lens)
         total = int(lens.sum())

@@ -657,7 +657,8 @@ def build_index(pages_path: str, index_dir: str, *,
                 t = pq.ParquetFile(run_files[fi]).read_row_groups(gis)
                 parts.append(t.filter(pc.equal(t["bucket"], b)))
             m = _merge_bucket_group(pa.concat_tables(parts), merge_scope) \
-                if parts else _RUN_SCHEMA.empty_table()
+                if parts else (_RUN_SCHEMA_POS if store_positions
+                               else _RUN_SCHEMA).empty_table()
             os.makedirs(seg_dir, exist_ok=True)
             tmp = seg_path + f".tmp{os.getpid()}"
             pq.write_table(m, tmp, row_group_size=4096)
@@ -724,6 +725,7 @@ def build_index(pages_path: str, index_dir: str, *,
         "avgdl": (total_len / n_docs_total) if n_docs_total else 0.0,
         "num_buckets": num_buckets,
         "doc_range_size": doc_range_size,
+        "store_positions": store_positions,
         "pages_path": pages_path,
         "wall_s_total": time.time() - t0,
         "wall_s_merge": t2 - t1,
@@ -761,6 +763,9 @@ def append_to_index(new_pages_path, index_dir: str, *,
         old_stats = json.load(f)
     num_buckets = old_stats["num_buckets"]
     doc_range_size = old_stats["doc_range_size"]
+    # positional indexes must append positional runs — mixed run schemas
+    # would crash the per-bucket merge (flag persisted at build time)
+    store_positions = old_stats.get("store_positions", False)
 
     # append-only contract: new doc ids must lie beyond every existing id
     dl_files = sorted(_glob.glob(os.path.join(index_dir, "doclens", "*.parquet")))
@@ -787,7 +792,8 @@ def append_to_index(new_pages_path, index_dir: str, *,
                 doclens_dir=os.path.join(index_dir, "doclens"),
                 num_buckets=num_buckets,
                 doc_range_size=doc_range_size,
-                from_html=from_html),
+                from_html=from_html,
+                store_positions=store_positions),
         batch_format="pyarrow", batch_size=batch_size)
     # additional run files land next to the existing ones (unique names)
     runs.write_parquet(os.path.join(index_dir, "runs"), row_group_size=512)
@@ -804,4 +810,5 @@ def append_to_index(new_pages_path, index_dir: str, *,
                        num_buckets=num_buckets,
                        doc_range_size=doc_range_size,
                        from_html=from_html, batch_size=batch_size,
-                       merge_scope=merge_scope)
+                       merge_scope=merge_scope,
+                       store_positions=store_positions)

@@ -192,8 +192,20 @@ def _plan_sudden_appearance(cfg, ds, *, reader=None, ts_col="ts"):
 
 
 def _plan_word2vec(cfg, ds, *, reader=None, ts_col="ts"):
+    """Accepts the reference's full word2vec section surface
+    (word2vec.py:27-135): separators (quoted regex), size_window,
+    num_epochs, learning_rate, embedding_size, use_prob_model,
+    output_prob, min_uniq_word_occurrence, drop_duplicates,
+    min_target_buckets, trigger_focus word|text, trigger_score
+    center|context|total|mean."""
+    import re as _re
+
     from .word2vec import word2vec_model
 
+    separators = str(cfg.get("separators", " ")).strip('"')
+    # the reference joins multi-field targets with the UNESCAPED
+    # separators string (word2vec.py:228-233)
+    target_sep = _re.sub(r"\\(.)", r"\1", separators)
     return word2vec_model(
         ds,
         _fields_list(cfg.get("aggregator")),
@@ -202,6 +214,20 @@ def _plan_word2vec(cfg, ds, *, reader=None, ts_col="ts"):
         trigger_sensitivity=cfg.get("trigger_sensitivity", 1.0, cast=float),
         trigger_on=cfg.get("trigger_on", "low"),
         seed=cfg.get("seed", 42, cast=int),
+        separators=separators,
+        target_sep=target_sep,
+        size_window=cfg.get("size_window", 2, cast=int),
+        num_epochs=cfg.get("num_epochs", 1, cast=int),
+        learning_rate=cfg.get("learning_rate", 0.001, cast=float),
+        embedding_size=cfg.get("embedding_size", 40, cast=int),
+        use_prob_model=cfg.get("use_prob_model", False, cast=bool),
+        output_prob=cfg.get("output_prob", True, cast=bool),
+        min_uniq_word_occurrence=cfg.get("min_uniq_word_occurrence", 1,
+                                         cast=int),
+        drop_duplicates=cfg.get("drop_duplicates", False, cast=bool),
+        min_target_buckets=cfg.get("min_target_buckets", cast=int),
+        trigger_focus=cfg.get("trigger_focus", "word"),
+        trigger_score=cfg.get("trigger_score", "center"),
     )
 
 

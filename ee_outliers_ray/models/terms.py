@@ -48,9 +48,12 @@ def sample_non_outliers(values, group_key: str, k: int = 3) -> str:
     return ",".join(vals[i] for i in sorted(idx))
 
 
-def add_key_column(ds, cols: str | list[str], out_name: str):
+def add_key_column(ds, cols: str | list[str], out_name: str,
+                   sep: str = SEP):
     """Concat multi-field key with ' - ' (the reference's painless-script
-    group key, /root/reference/app/helpers/es.py:796-803), vectorized."""
+    group key, /root/reference/app/helpers/es.py:796-803), vectorized.
+    ``sep`` overrides the joiner (word2vec targets join with the model's
+    separator string, reference word2vec.py:228-233)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -61,7 +64,7 @@ def add_key_column(ds, cols: str | list[str], out_name: str):
         if len(arrs) == 1:
             key = arrs[0]
         else:
-            key = pc.binary_join_element_wise(*arrs, SEP)
+            key = pc.binary_join_element_wise(*arrs, sep)
         return batch.append_column(out_name, key)
 
     return ds.map_batches(_concat, batch_format="pyarrow")
@@ -153,41 +156,63 @@ def terms_model(ds, aggregator, target, *, target_count_method: str,
         raise ValueError(f"unknown target_count_method {target_count_method}")
 
     # across_aggregators: distinct-count per aggregator = two cascaded
-    # aggregates (pair count, then count of pairs); the per-aggregator
-    # table is small (#aggregators rows) -> global frontier on the driver.
+    # DISTRIBUTED aggregates (pair count, then count of pairs per
+    # aggregator); only the per-aggregator count table (#aggregators
+    # rows) reaches the driver.  The whitelist fixpoint fetches the
+    # (aggregator, target) pairs of FLAGGED aggregators only, via a
+    # broadcast semi-join on the materialized pair table — the full pair
+    # set is never collected (reference terms.py:185-310 evaluates
+    # batch-globally; complete-data semantics identical).
     from ray.data.aggregate import Count
 
+    from ..joins import semi_join
+
     pair_counts = ds.groupby(["aggregator", "target"]).aggregate(
-        Count(alias_name="pair_n"))
-    pairs_pd = pair_counts.to_pandas()  # (aggregator, target) distinct pairs
-    if pairs_pd.empty:  # empty input loses its schema through to_pandas
-        pairs_pd = pd.DataFrame(columns=["aggregator", "target", "pair_n"])
+        Count(alias_name="pair_n")).materialize()
+    per_agg_pd = pair_counts.groupby("aggregator").aggregate(
+        Count(alias_name="n")).to_pandas()
+    if per_agg_pd.empty:  # empty input loses its schema through to_pandas
+        per_agg_pd = pd.DataFrame(columns=["aggregator", "n"])
 
     removed_pairs: set[tuple[str, str]] = set()
+    removed_per_agg: dict[str, int] = {}
+    fetched: dict[str, list[str]] = {}  # flagged agg -> its targets
+    base_counts = per_agg_pd.set_index("aggregator")["n"].astype(np.float64)
     while True:
-        live = pairs_pd[~pairs_pd.set_index(["aggregator", "target"]).index
-                        .isin(removed_pairs)] if removed_pairs else pairs_pd
-        per_agg = live.groupby("aggregator").size()
-        if len(per_agg) == 0:
+        counts = base_counts
+        if removed_per_agg:
+            counts = counts.sub(pd.Series(removed_per_agg), fill_value=0)
+        counts = counts[counts > 0]
+        if len(counts) == 0:
             flagged_aggs = {}
             frontier = float("nan")
             break
-        values = per_agg.to_numpy(dtype=np.float64)
+        values = counts.to_numpy(dtype=np.float64)
         frontier = get_decision_frontier(trigger_method, values,
                                          trigger_sensitivity, trigger_on)
         flags = is_outlier(values, frontier, trigger_on)
         flagged_aggs = {a: float(c) for a, c, f in
-                        zip(per_agg.index, values, flags) if f}
+                        zip(counts.index, values, flags) if f}
         if whitelist.empty or not flagged_aggs:
             break
+        need = [a for a in flagged_aggs if a not in fetched]
+        if need:
+            sub = semi_join(pair_counts, set(need), "aggregator") \
+                .select_columns(["aggregator", "target"]).to_pandas()
+            if not sub.empty:
+                for a, g in sub.groupby("aggregator"):
+                    fetched[a] = list(g["target"])
+            for a in need:
+                fetched.setdefault(a, [])
         newly_removed = {
-            (a, t) for a, t in live[live["aggregator"].isin(flagged_aggs)]
-            [["aggregator", "target"]].itertuples(index=False)
-            if whitelist.matches({a, t})
-        } - removed_pairs
+            (a, t) for a in flagged_aggs for t in fetched[a]
+            if (a, t) not in removed_pairs and whitelist.matches({a, t})
+        }
         if not newly_removed:
             break
         removed_pairs |= newly_removed
+        for a, _ in newly_removed:
+            removed_per_agg[a] = removed_per_agg.get(a, 0) + 1
 
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -616,7 +616,7 @@ def word2vec_outliers(sf_dir: str, limit: int = 200):
     ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
         .sort("doc_id").limit(limit)
     out = word2vec_model(ds, "lang", "text", trigger_method="stdev",
-                         trigger_sensitivity=1.5, trigger_on="low")
+                         trigger_sensitivity=1.0, trigger_on="low")
     df = out.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),

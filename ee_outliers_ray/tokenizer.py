@@ -163,15 +163,21 @@ def tokenize_html_column(html, open_tag: str = "<p>",
     offs = np.frombuffer(s.buffers()[1], dtype=np.int32)[
         s.offset: s.offset + len(s) + 1].astype(np.int64)
     nbytes = int(offs[-1] - offs[0])
+    data = np.frombuffer(s.buffers()[2], dtype=np.uint8)[offs[0]:offs[-1]] \
+        if s.buffers()[2] is not None else np.zeros(0, dtype=np.uint8)
+    rel = offs - offs[0]
     start = pc.find_substring(s, open_tag).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
-    end = pc.find_substring(s, close_tag).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
-    valid = (start >= 0) & (end >= 0)
-    abs_start = (offs[:-1] - offs[0]) + start + len(open_tag)
-    abs_end = (offs[:-1] - offs[0]) + end
+    abs_start = rel[:-1] + start + len(open_tag)
+    # first close tag AT OR AFTER the open (a stray </p> before the first
+    # <p> is skipped, matching the regex <p>(.*?)</p> semantics)
+    from .extract import first_close_after
+
+    close_ok, close_pos = first_close_after(
+        data, rel[1:], abs_start, close_tag.encode())
+    valid = (start >= 0) & close_ok
     abs_start = abs_start[valid]
-    abs_end = np.maximum(abs_end[valid], abs_start)
+    abs_end = close_pos[valid]
     # region mask via +1/-1 boundary flags and a cumulative sum
     flags = np.zeros(nbytes + 1, dtype=np.int8)
     np.add.at(flags, abs_start, 1)

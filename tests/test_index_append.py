@@ -41,6 +41,47 @@ def test_append_equals_full_rebuild(tmp_path):
         assert taat_topk(r_inc, q, 10) == taat_topk(r_full, q, 10), q
 
 
+def test_append_to_positional_index(tmp_path):
+    """Appending to a store_positions=True index must write positional
+    runs (flag persisted in stats.json) and keep phrase support for BOTH
+    old and new docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "src"
+    d.mkdir()
+    first = str(d / "a.parquet")
+    second = str(d / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(0, 6),
+        "text": ["alpha beta gamma", "beta alpha", "gamma alpha beta",
+                 "alpha beta", "solo here", "beta gamma"]})), first)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": range(6, 10),
+        "text": ["alpha beta extra", "extra alpha", "beta gamma alpha beta",
+                 "gamma beta"]})), second)
+
+    idx = str(tmp_path / "idx")
+    build_index(first, idx, from_html=False, num_buckets=2, batch_size=4,
+                store_positions=True)
+    append_to_index([second], idx, from_html=False, batch_size=4)
+
+    full = str(tmp_path / "full")
+    build_index([first, second], full, from_html=False, num_buckets=2,
+                batch_size=4, store_positions=True)
+
+    r_inc, r_full = IndexReader(idx), IndexReader(full)
+    assert r_inc.has_positions and r_full.has_positions
+    for term in ("alpha", "beta", "extra"):
+        got = r_inc.positions(term)
+        want = r_full.positions(term)
+        assert got[0].tolist() == want[0].tolist()
+        assert got[2].tolist() == want[2].tolist()
+    for q in ("alpha beta", "gamma"):
+        assert taat_topk(r_inc, q, 10) == taat_topk(r_full, q, 10)
+
+
 def test_append_rejects_overlapping_ids(tmp_path):
     d = str(tmp_path / "pages")
     generate_pages(d, total_rows=200, num_files=1, seed=42)
