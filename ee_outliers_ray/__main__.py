@@ -54,6 +54,12 @@ def _run(args) -> None:
             t0 = time.time()
             out = run_model(cfg, ds, ts_col=args.ts_col)
             df = out.to_pandas()
+            # arbitrary (non-functional) config keys copied verbatim onto
+            # every outlier of this model (analyzer.py:125-142)
+            import json
+
+            extra_json = json.dumps(cfg.arbitrary(), sort_keys=True) \
+                if cfg.arbitrary() else ""
             for _, r in df.iterrows():
                 summary = cfg.get(
                     "outlier_summary",
@@ -69,6 +75,7 @@ def _run(args) -> None:
                     "summary": summary,
                     "model_name": cfg.model_name,
                     "model_type": cfg.model_type,
+                    "extra": extra_json,
                 })
             timings.append((f"{cfg.model_type}_{cfg.model_name}",
                             time.time() - t0, len(df)))

@@ -35,8 +35,15 @@ OUTLIER_STRUCT = pa.struct([
     ("summary", pa.list_(pa.string())),
     ("model_name", pa.list_(pa.string())),
     ("model_type", pa.list_(pa.string())),
+    # arbitrary per-model config keys, JSON-encoded per entry (the
+    # reference copies them verbatim into the outlier document,
+    # analyzer.py:125-142); "" when a model has none
+    ("extra", pa.list_(pa.string())),
     ("total_outliers", pa.int32()),
 ])
+
+_ENTRY_KEYS = ("type", "reason", "summary", "model_name", "model_type",
+               "extra")
 
 
 def wrap_summary(s: str) -> str:
@@ -45,19 +52,13 @@ def wrap_summary(s: str) -> str:
 
 def _merge_entry(cur: dict | None, entry: dict) -> dict:
     if cur is None:
-        return {
-            "type": [entry["type"]], "reason": [entry["reason"]],
-            "summary": [entry["summary"]],
-            "model_name": [entry["model_name"]],
-            "model_type": [entry["model_type"]],
-            "total_outliers": 1,
-        }
+        return {**{k: [entry.get(k, "")] for k in _ENTRY_KEYS},
+                "total_outliers": 1}
     if entry["summary"] in cur["summary"]:
         return cur
-    out = {k: list(cur[k]) for k in
-           ("type", "reason", "summary", "model_name", "model_type")}
+    out = {k: list(cur.get(k) or []) for k in _ENTRY_KEYS}
     for k in out:
-        out[k].append(entry[k])
+        out[k].append(entry.get(k, ""))
     out["total_outliers"] = cur["total_outliers"] + 1
     return out
 
@@ -163,9 +164,10 @@ def remove_whitelisted_outliers(ds, whitelist: Whitelist,
                 new_outliers.append(cur)
                 new_tags.append(tags[i])
             elif keep_idx:
-                kept = {key: [cur[key][k] for k in keep_idx]
-                        for key in ("type", "reason", "summary",
-                                    "model_name", "model_type")}
+                n = len(cur["summary"])
+                kept = {key: [(cur.get(key) or [""] * n)[k]
+                              for k in keep_idx]
+                        for key in _ENTRY_KEYS}
                 kept["total_outliers"] = len(keep_idx)
                 new_outliers.append(kept)
                 new_tags.append(tags[i])

@@ -320,3 +320,33 @@ def metric_column(metric: str, values: np.ndarray) -> np.ndarray:
         m, _ = calculate_metric(metric, v)
         out[i] = np.nan if m is None else m
     return out
+
+
+# observation columns produced per metric kernel (metrics.py:276-311: the
+# reference attaches these to every outlier document)
+METRIC_OBSERVATION_FIELDS = {
+    "hex_encoded_length": ("max_hex_encoded_length", "max_hex_encoded_word"),
+    "base64_encoded_length": ("max_base64_decoded_length",
+                              "max_base64_decoded_word"),
+    "url_length": ("extracted_urls_length", "extracted_urls"),
+}
+
+
+def metric_column_with_observations(metric: str, values: np.ndarray
+                                    ) -> tuple[np.ndarray, dict[str, list]]:
+    """Metric values + per-row observation columns (empty dict for
+    metrics without observations).  The numeric observation is -1 and the
+    word observation "" when a row produced none."""
+    fields = METRIC_OBSERVATION_FIELDS.get(metric)
+    if fields is None:
+        return metric_column(metric, values), {}
+    num_name, word_name = fields
+    out = np.empty(len(values), dtype=np.float64)
+    nums: list[int] = []
+    words: list[str] = []
+    for i, v in enumerate(values):
+        m, obs = calculate_metric(metric, v)
+        out[i] = np.nan if m is None else m
+        nums.append(int(obs.get(num_name, -1)))
+        words.append(str(obs.get(word_name, "")))
+    return out, {num_name: nums, word_name: words}

@@ -28,6 +28,27 @@ from .whitelist import Whitelist
 MODEL_PREFIXES = ["simplequery", "metrics", "terms", "sudden_appearance",
                   "word2vec"]
 
+# keys consumed by the planners (the reference's model_settings surface);
+# everything else in a model section is copied verbatim onto its outliers
+# (analyzer.py:125-142 _extract_arbitrary_config)
+FUNCTIONAL_KEYS = {
+    "es_query_filter", "es_dsl_filter", "es_index", "aggregator", "target",
+    "target_count_method", "trigger_method", "trigger_sensitivity",
+    "trigger_on", "trigger_focus", "trigger_score", "min_target_buckets",
+    "metric", "history_end", "history_window_days", "history_window_hours",
+    "sliding_window_size", "sliding_window_step_size", "max_num_aggs",
+    "seed", "separators", "size_window", "num_epochs", "learning_rate",
+    "embedding_size", "use_prob_model", "output_prob",
+    "min_uniq_word_occurrence", "drop_duplicates",
+    "word2vec_batch_eval_size", "batch_eval_size",
+    "terms_batch_eval_size", "metrics_batch_eval_size",
+    "process_documents_chronologically", "print_score_table",
+    "print_confusion_matrix", "use_derived_fields",
+    "training_data_size_pct", "run_model", "test_model",
+    "highlight_match", "text_field", "should_notify",
+    "outlier_type", "outlier_reason", "outlier_summary",
+}
+
 
 @dataclass
 class ModelConfig:
@@ -37,6 +58,18 @@ class ModelConfig:
     whitelist: Whitelist = field(default_factory=Whitelist)
     defaults: dict = field(default_factory=dict)
     derived_fields: dict = field(default_factory=dict)
+
+    def arbitrary(self) -> dict:
+        """Non-functional section keys, copied verbatim onto every
+        outlier of this model (reference analyzer.py:125-142); the DSL /
+        query filters additionally surface as ``elasticsearch_filter``."""
+        out = {}
+        for k, v in self.params.items():
+            if k not in FUNCTIONAL_KEYS:
+                out[k] = v
+            if k in ("es_dsl_filter", "es_query_filter"):
+                out["elasticsearch_filter"] = v
+        return out
 
     def get(self, name, default=None, cast=None):
         v = self.params.get(name)

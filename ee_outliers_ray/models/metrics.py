@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions import metric_column
+from ..functions import metric_column_with_observations
 from .frontier import get_decision_frontier, is_outlier
 from .terms import _drop_null_keys, add_key_column
 from .whitelist import Whitelist
@@ -33,6 +33,7 @@ def _metrics_group_fn(whitelist: Whitelist, trigger_method: str,
         alive = g.reset_index(drop=True)
         empty = g.iloc[0:0].copy()
         empty["decision_frontier"] = pd.Series(dtype=np.float64)
+        empty["confidence"] = pd.Series(dtype=np.float64)
         empty["non_outlier_values_sample"] = pd.Series(dtype=object)
         while len(alive):
             values = alive["metric"].to_numpy(dtype=np.float64)
@@ -52,6 +53,9 @@ def _metrics_group_fn(whitelist: Whitelist, trigger_method: str,
                     continue
             res = alive[flagged].copy()
             res["decision_frontier"] = float(frontier)
+            # confidence = |frontier - metric| (metrics.py:286-288)
+            res["confidence"] = np.abs(
+                float(frontier) - res["metric"].to_numpy(dtype=np.float64))
             from .terms import sample_non_outliers
 
             res["non_outlier_values_sample"] = sample_non_outliers(
@@ -78,8 +82,12 @@ def metrics_model(ds, aggregator, target: str, *, metric: str,
 
     def _add_metric(batch: pa.Table) -> pa.Table:
         vals = np.asarray(batch["target"].to_pylist(), dtype=object)
-        m = metric_column(metric_name, vals)
+        m, obs = metric_column_with_observations(metric_name, vals)
         out = batch.append_column("metric", pa.array(m, type=pa.float64()))
+        # observation columns ride along to the outlier output
+        # (metrics.py:276-311 attaches them to every outlier document)
+        for name, col in obs.items():
+            out = out.append_column(name, pa.array(col))
         return out.filter(pa.array(~np.isnan(m)))
 
     ds = ds.map_batches(_add_metric, batch_format="pyarrow")

@@ -69,3 +69,93 @@ def test_cli_observations_column(tmp_path):
                            trigger_sensitivity=50, trigger_on="low").to_pandas()
         assert sorted(out["non_outlier_values_sample"]) == \
             sorted(out2["non_outlier_values_sample"])
+
+
+def test_cli_arbitrary_config_keys(tmp_path):
+    """Non-functional section keys are copied verbatim onto the outlier
+    entries (reference analyzer.py:125-142), JSON-encoded in 'extra'."""
+    import json
+
+    uc = tmp_path / "uc2.conf"
+    uc.write_text("""
+[terms_rare_users]
+aggregator=event_type
+target=user_id
+target_count_method=within_aggregator
+trigger_on=low
+trigger_method=pct_of_median_value
+trigger_sensitivity=50
+es_query_filter=event_type:*
+mitre_tactic=T1078
+custom_note=check with SOC
+run_model=1
+""")
+    out_dir = str(tmp_path / "out2")
+    rc = main(["run", "--use-cases", str(uc),
+               "--input", "/root/testdata/sf0.001/events.parquet",
+               "--output", out_dir])
+    assert rc == 0
+    t = pq.read_table(out_dir)
+    tagged = t.filter(pc.is_valid(t["outliers"]))
+    assert tagged.num_rows > 0
+    o = tagged["outliers"][0].as_py()
+    extra = json.loads(o["extra"][0])
+    assert extra["mitre_tactic"] == "T1078"
+    assert extra["custom_note"] == "check with SOC"
+    # query filters surface as elasticsearch_filter (analyzer.py:139-141)
+    assert extra["elasticsearch_filter"] == "event_type:*"
+    # functional keys are NOT copied
+    assert "trigger_method" not in extra
+
+
+def test_metrics_observation_columns():
+    """hex/base64/url metric observations ride along to outliers
+    (reference metrics.py:276-311)."""
+    import base64 as b64
+
+    import pandas as pd
+    import ray.data
+
+    from ee_outliers_ray.models.metrics import metrics_model
+
+    payload = b64.b64encode(b"secret payload here").decode()
+    rows = [{"event_id": i, "etype": "x", "cmd": f"run step {i}"}
+            for i in range(30)]
+    rows.append({"event_id": 99, "etype": "x",
+                 "cmd": f"run {payload} now"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = metrics_model(ds, "etype", "cmd", metric="base64_encoded_length",
+                        trigger_method="stdev", trigger_sensitivity=1,
+                        trigger_on="high").to_pandas()
+    assert {"max_base64_decoded_length", "max_base64_decoded_word",
+            "confidence", "decision_frontier"} <= set(out.columns)
+    flagged = out[out["event_id"] == 99]
+    assert len(flagged) == 1
+    assert flagged["max_base64_decoded_word"].iloc[0] == \
+        "secret payload here"
+    assert flagged["max_base64_decoded_length"].iloc[0] == \
+        len("secret payload here")
+
+    urls = [{"event_id": i, "etype": "x", "cmd": "plain text"}
+            for i in range(20)]
+    urls.append({"event_id": 77, "etype": "x",
+                 "cmd": "go to https://evil.example.com/p now"})
+    ds2 = ray.data.from_pandas(pd.DataFrame(urls))
+    out2 = metrics_model(ds2, "etype", "cmd", metric="url_length",
+                         trigger_method="stdev", trigger_sensitivity=1,
+                         trigger_on="high").to_pandas()
+    f2 = out2[out2["event_id"] == 77]
+    assert len(f2) == 1
+    assert f2["extracted_urls"].iloc[0] == "https://evil.example.com/p"
+
+    hexes = [{"event_id": i, "etype": "x", "cmd": "word"}
+             for i in range(20)]
+    hexes.append({"event_id": 55, "etype": "x",
+                  "cmd": "blob deadbeefdeadbeef end"})
+    ds3 = ray.data.from_pandas(pd.DataFrame(hexes))
+    out3 = metrics_model(ds3, "etype", "cmd", metric="hex_encoded_length",
+                         trigger_method="stdev", trigger_sensitivity=1,
+                         trigger_on="high").to_pandas()
+    f3 = out3[out3["event_id"] == 55]
+    assert len(f3) == 1
+    assert f3["max_hex_encoded_word"].iloc[0] == "deadbeefdeadbeef"
