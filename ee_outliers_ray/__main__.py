@@ -39,10 +39,23 @@ def _run(args) -> None:
     from .enrich import apply_outliers, remove_all_outliers
     from .models.config import load_use_cases, run_model
 
-    cfgs = load_use_cases(args.use_cases)
-    cfgs = [c for c in cfgs
-            if c.get("run_model", "1", cast=bool) or args.run_all]
+    import glob as globlib
+
+    from .cron import CronSchedule, FileModificationWatcher
+
+    def _load():
+        cfgs = load_use_cases(args.use_cases)
+        return [c for c in cfgs
+                if c.get("run_model", "1", cast=bool) or args.run_all]
+
+    cfgs = _load()
     print(f"loaded {len(cfgs)} use case(s) from {args.use_cases}")
+    # config hot-reload between iterations (reference daemon mode,
+    # outliers.py:115-145 + helpers/watchers.py)
+    watched = sorted(globlib.glob(args.use_cases)) if any(
+        c in args.use_cases for c in "*?[") else [args.use_cases]
+    watcher = FileModificationWatcher(watched)
+    schedule = CronSchedule(args.cron) if args.cron else None
 
     for iteration in range(args.repeat):
         ds = ray.data.read_parquet(args.input)
@@ -60,18 +73,22 @@ def _run(args) -> None:
 
             extra_json = json.dumps(cfg.arbitrary(), sort_keys=True) \
                 if cfg.arbitrary() else ""
-            for _, r in df.iterrows():
-                summary = cfg.get(
-                    "outlier_summary",
+            # driver-side entry building is bounded by the OUTLIER count,
+            # not the corpus; at outlier volumes where even that is too
+            # big, swap for a distributed join of `out` onto the corpus
+            from .functions import replace_placeholder_fields_with_values
+
+            summary_tpl = cfg.get("outlier_summary")
+            otype = cfg.get("outlier_type", cfg.model_type)
+            oreason = cfg.get("outlier_reason", cfg.model_type)
+            for r in df.to_dict("records"):
+                summary = replace_placeholder_fields_with_values(
+                    summary_tpl, r) if summary_tpl else (
                     f"{cfg.model_type} outlier: "
                     f"{r.get('target', '')} in {r.get('aggregator', '')}")
-                from .functions import replace_placeholder_fields_with_values
-
-                summary = replace_placeholder_fields_with_values(
-                    summary, r.to_dict())
                 entries.setdefault(int(r[args.id_col]), []).append({
-                    "type": cfg.get("outlier_type", cfg.model_type),
-                    "reason": cfg.get("outlier_reason", cfg.model_type),
+                    "type": otype,
+                    "reason": oreason,
                     "summary": summary,
                     "model_name": cfg.model_name,
                     "model_type": cfg.model_type,
@@ -91,7 +108,20 @@ def _run(args) -> None:
         for name, dt, n in sorted(timings, key=lambda x: -x[1])[:10]:
             print(f"  {name:40} {dt:7.2f}s  {n:8} outliers")
         if iteration + 1 < args.repeat:
-            time.sleep(args.sleep)
+            if schedule is not None:
+                # croniter-style next-run wait (outliers.py:147-151)
+                import datetime as dt
+
+                nxt = schedule.next_run(dt.datetime.now())
+                wait = max(0.0, (nxt - dt.datetime.now()).total_seconds())
+                print(f"next run at {nxt:%Y-%m-%d %H:%M} "
+                      f"(sleeping {wait:.0f}s)")
+                time.sleep(wait)
+            else:
+                time.sleep(args.sleep)
+            if watcher.files_changed():
+                cfgs = _load()
+                print(f"config changed - reloaded {len(cfgs)} use case(s)")
     ray.shutdown()
 
 
@@ -113,6 +143,9 @@ def main(argv=None) -> int:
                    help="daemon-style re-runs")
     r.add_argument("--sleep", type=float, default=0.0,
                    help="seconds between re-runs")
+    r.add_argument("--cron", default=None,
+                   help="5-field cron schedule for re-runs (daemon mode "
+                        "parity); overrides --sleep")
     sub.add_parser("tests", help="run the pytest suite")
     args = p.parse_args(argv)
     if args.mode == "tests":

@@ -156,7 +156,7 @@ class MinHasher:
     Emits the LSH band buckets directly: (doc_id, bucket) rows, one per
     band, for every document with at least one shingle."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 32,
+    def __init__(self, num_perm: int = 64, bands: int = 16,
                  shingle_k: int = 3, seed: int = 7,
                  text_col: str = "text", id_col: str = "doc_id"):
         assert num_perm % bands == 0
@@ -207,13 +207,14 @@ class MinHasher:
         })
 
 
-def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 32,
+def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            shingle_k: int = 3, seed: int = 7,
                            text_col: str = "text", id_col: str = "doc_id"):
     """MinHash + LSH banding: vectorized signatures+banding (actor pool)
-    -> groupby bucket -> candidate pairs.  bands=32 over 64 perms (r=2)
-    keeps recall high down to Jaccard ~0.5; verification prunes the extra
-    candidates."""
+    -> groupby bucket -> candidate pairs.  bands=16 over 64 perms (r=4):
+    capture prob at Jaccard 0.9 is ~1-1e-7 while random low-similarity
+    web pages almost never share a 4-row band (r=2 made bucket sizes —
+    and the candidate-pair count — quadratic at corpus scale)."""
     buckets = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,

@@ -58,6 +58,9 @@ class ModelConfig:
     whitelist: Whitelist = field(default_factory=Whitelist)
     defaults: dict = field(default_factory=dict)
     derived_fields: dict = field(default_factory=dict)
+    # [grok_patterns] section: custom pattern name -> grok/regex body
+    # (pygrok custom-pattern-dir parity)
+    custom_grok: dict = field(default_factory=dict)
 
     def arbitrary(self) -> dict:
         """Non-functional section keys, copied verbatim onto every
@@ -92,6 +95,7 @@ def load_use_cases(path_or_glob: str, defaults: dict | None = None
     out: list[ModelConfig] = []
     for path in paths:
         cp = configparser.RawConfigParser()
+        cp.optionxform = str  # preserve key case (grok names, field names)
         cp.read(path)
         wl = Whitelist.from_config(
             literal_entries=[v for _, v in cp.items("whitelist_literals")]
@@ -101,6 +105,8 @@ def load_use_cases(path_or_glob: str, defaults: dict | None = None
         )
         derived = dict(cp.items("derivedfields")) \
             if cp.has_section("derivedfields") else {}
+        custom_grok = dict(cp.items("grok_patterns")) \
+            if cp.has_section("grok_patterns") else {}
         for section in cp.sections():
             for prefix in MODEL_PREFIXES:
                 if section.startswith(prefix + "_"):
@@ -111,6 +117,7 @@ def load_use_cases(path_or_glob: str, defaults: dict | None = None
                         whitelist=wl,
                         defaults=defaults or {},
                         derived_fields=derived,
+                        custom_grok=custom_grok,
                     ))
                     break
     return out
@@ -137,7 +144,8 @@ def run_model(cfg: ModelConfig, ds, *, reader=None, ts_col: str = "ts"):
 
         ds = ds.map_batches(DerivedFields,
                             fn_constructor_kwargs={
-                                "field_patterns": cfg.derived_fields},
+                                "field_patterns": cfg.derived_fields,
+                                "custom_patterns": cfg.custom_grok},
                             batch_format="pyarrow", concurrency=2)
     pct = cfg.get("training_data_size_pct", cast=float)
     if pct is not None and pct < 100:

@@ -221,13 +221,21 @@ def terms_model(ds, aggregator, target, *, target_count_method: str,
     removed = removed_pairs
     final_frontier = frontier
 
+    flagged_series = pd.Series(flagged, dtype=np.float64)
+    flagged_set = pa.array(list(flagged), type=pa.string())
+    removed_keys = pa.array([f"{a}\x1f{t}" for a, t in removed]) \
+        if removed else None
+
     def _flag(batch: pa.Table) -> pa.Table:
-        aggs = batch["aggregator"].to_pylist()
-        tgts = batch["target"].to_pylist()
-        keep = [a in flagged and (a, t) not in removed
-                for a, t in zip(aggs, tgts)]
-        sub = batch.filter(pa.array(keep))
-        cnt = [flagged[a] for a in sub["aggregator"].to_pylist()]
+        mask = pc.is_in(batch["aggregator"], value_set=flagged_set)
+        if removed_keys is not None:
+            pair_key = pc.binary_join_element_wise(
+                batch["aggregator"], batch["target"], "\x1f")
+            mask = pc.and_(mask, pc.invert(
+                pc.is_in(pair_key, value_set=removed_keys)))
+        sub = batch.filter(mask)
+        cnt = flagged_series.reindex(
+            sub["aggregator"].to_numpy(zero_copy_only=False)).to_numpy()
         sub = sub.append_column("term_count", pa.array(cnt, type=pa.float64()))
         return sub.append_column(
             "decision_frontier",

@@ -613,8 +613,10 @@ def word2vec_outliers(sf_dir: str, limit: int = 200):
     iterative model training is not SQL-expressible)."""
     from .models.word2vec import word2vec_model
 
+    # documents.parquet is doc_id-ordered, so limit-after-read IS the
+    # smallest `limit` doc_ids — no global sort shuffle needed
     ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
-        .sort("doc_id").limit(limit)
+        .limit(limit)
     out = word2vec_model(ds, "lang", "text", trigger_method="stdev",
                          trigger_sensitivity=1.0, trigger_on="low")
     df = out.to_pandas()

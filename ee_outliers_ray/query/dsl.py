@@ -140,8 +140,22 @@ def add_matched_values(ds, query_string: str, *, text_col: str = "text",
 
     def f(b: pa.Table) -> pa.Table:
         toks = tokenize_column(b[text_col])
-        sets = [set(row) for row in toks.to_pylist()]
-        matched = [[t for t in q_terms if t in s] for s in sets]
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        nrow = len(offsets) - 1
+        # one vectorized membership pass per query term (few terms),
+        # per-row any() via reduceat — no per-row Python sets
+        present = np.zeros((nrow, len(q_terms)), dtype=bool)
+        for ti, term in enumerate(q_terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            if hit.any():
+                s = np.add.reduceat(
+                    np.concatenate([hit.astype(np.int32), [0]]),
+                    offsets[:-1])[:nrow]
+                s[offsets[:-1] == offsets[1:]] = 0
+                present[:, ti] = s > 0
+        terms_arr = np.array(q_terms, dtype=object)
+        matched = [terms_arr[present[i]].tolist() for i in range(nrow)]
         return b.append_column("matched_values",
                                pa.array(matched, type=pa.list_(pa.string())))
 

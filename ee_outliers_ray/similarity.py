@@ -118,12 +118,12 @@ class IvfIndex:
         q = np.asarray(query_vec, dtype=np.float64)
         q = q / (np.linalg.norm(q) or 1.0)
         order = np.argsort(-(self.centroids @ q))
-        probe = set(int(x) for x in order[:nprobe])
+        probe_arr = pa.array(order[:nprobe].astype(np.int32))
 
         def f(b: pa.Table) -> pa.Table:
-            mask = pa.array([int(v) in probe
-                             for v in b["ivf_list"].to_pylist()])
-            return b.filter(mask)
+            import pyarrow.compute as pc
+
+            return b.filter(pc.is_in(b["ivf_list"], value_set=probe_arr))
 
         filtered = assigned_ds.map_batches(f, batch_format="pyarrow")
         return cosine_topk(filtered, query_vec, k=k, vec_col=vec_col,

@@ -159,3 +159,29 @@ def test_metrics_observation_columns():
     f3 = out3[out3["event_id"] == 55]
     assert len(f3) == 1
     assert f3["max_hex_encoded_word"].iloc[0] == "deadbeefdeadbeef"
+
+
+def test_cron_schedule_and_watcher(tmp_path):
+    import datetime as dt
+
+    from ee_outliers_ray.cron import CronSchedule, FileModificationWatcher
+
+    s = CronSchedule("*/15 * * * *")
+    t = s.next_run(dt.datetime(2024, 3, 7, 12, 7, 30))
+    assert t == dt.datetime(2024, 3, 7, 12, 15)
+    assert s.next_run(t) == dt.datetime(2024, 3, 7, 12, 30)
+    s2 = CronSchedule("30 2 * * 0")  # Sundays 02:30
+    t2 = s2.next_run(dt.datetime(2024, 3, 7, 0, 0))  # Thursday
+    assert t2 == dt.datetime(2024, 3, 10, 2, 30)
+    assert t2.weekday() == 6
+    s3 = CronSchedule("0 0 1 1,7 *")
+    assert s3.next_run(dt.datetime(2024, 3, 1)) == dt.datetime(2024, 7, 1)
+
+    p = tmp_path / "w.conf"
+    p.write_text("a")
+    w = FileModificationWatcher([str(p)])
+    assert not w.files_changed()
+    import os
+    os.utime(p, (1e9, 1e9))
+    assert w.files_changed()
+    assert not w.files_changed()  # re-armed

@@ -1,0 +1,194 @@
+"""Dedup / similarity / hashing kernel tests: vectorized kernels vs
+plain-Python references, LSH recall against exhaustive truth, and
+pipeline goldens."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ee_outliers_ray.dedup import (
+    MinHasher,
+    SimHasher,
+    _shingles,
+    batch_shingle_hashes,
+    minhash_near_dups,
+    ngram_jaccard,
+    simhash_candidates,
+)
+from ee_outliers_ray.hashing import (
+    hash_string_array,
+    shingle_hashes,
+    unique_per_segment,
+)
+from ee_outliers_ray.tokenizer import tokenize, tokenize_column
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+    "completely different content about ray data pipelines",
+    "completely different content about ray data engines",
+    "one two",
+    "",
+    "singleword",
+    "shared prefix tokens then totally divergent tail words here",
+    "shared prefix tokens then absolutely unrelated ending part now",
+]
+
+
+def test_hash_string_array_distinct_and_stable():
+    toks = [t for d in DOCS for t in tokenize(d)]
+    arr = pa.array(toks)
+    h1 = hash_string_array(arr)
+    h2 = hash_string_array(arr)
+    assert (h1 == h2).all()
+    by_tok = {}
+    for t, h in zip(toks, h1):
+        assert by_tok.setdefault(t, h) == h
+    vals = list(by_tok.values())
+    assert len(set(vals)) == len(vals)  # no collisions on this vocab
+
+
+def test_shingle_hash_sets_match_exact_shingles():
+    """Hashed-shingle intersections/sizes == exact token-tuple shingles
+    for every doc pair (collision-free at this scale)."""
+    col = pa.array(DOCS)
+    sh, off = batch_shingle_hashes(col, 3)
+    usha, uoff = unique_per_segment(sh, off)
+    hashed_sets = [set(usha[uoff[i]:uoff[i + 1]].tolist())
+                   for i in range(len(DOCS))]
+    exact_sets = [_shingles(d, 3) for d in DOCS]
+    for hs, es in zip(hashed_sets, exact_sets):
+        assert len(hs) == len(es)
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            assert len(hashed_sets[i] & hashed_sets[j]) == \
+                len(exact_sets[i] & exact_sets[j]), (i, j)
+
+
+def test_shingle_short_and_empty_docs():
+    toks = tokenize_column(pa.array(["", "one two", "single"]))
+    th = hash_string_array(toks.flatten())
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    sh, sh_off = shingle_hashes(th, off, 3)
+    counts = (sh_off[1:] - sh_off[:-1]).tolist()
+    assert counts == [0, 1, 1]  # empty->none, short->one whole-doc shingle
+
+
+def test_minhash_signature_approximates_jaccard():
+    m = MinHasher(num_perm=256, bands=16)
+    sig, n_sh = m.signature_matrix(pa.array(DOCS))
+    assert (sig[0] == sig[2]).all()  # exact dup -> identical signature
+    agree = (sig[3] == sig[4]).mean()
+    true_j = ngram_jaccard(DOCS[3], DOCS[4], 3)
+    assert abs(agree - true_j) < 0.15
+    assert n_sh[6] == 0  # empty doc has no shingles
+
+
+def test_minhash_near_dups_pipeline_matches_exhaustive():
+    """Pipeline output == exhaustive threshold Jaccard over all pairs
+    (recall 1 at these similarities), with exact jaccard values."""
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(DOCS)), "text": DOCS}))
+    got = minhash_near_dups(ds, threshold=0.5).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = []
+    for i in range(len(DOCS)):
+        for j in range(i + 1, len(DOCS)):
+            if not _shingles(DOCS[i], 3) and not _shingles(DOCS[j], 3):
+                continue  # shingle-less docs never enter LSH
+            jac = ngram_jaccard(DOCS[i], DOCS[j], 3)
+            if jac >= 0.5:
+                want.append((i, j, round(jac, 6)))
+    assert list(map(tuple, got[["id_a", "id_b"]].itertuples(index=False))) \
+        == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"].to_numpy(),
+                       [j for _, _, j in want], atol=1e-9)
+
+
+def test_simhash_batch_equals_single():
+    col = pa.array([d for d in DOCS if d])
+    batch_out = SimHasher.simhash_column(col)
+    for d, h in zip([d for d in DOCS if d], batch_out):
+        assert SimHasher.simhash64(d) == int(h)
+    assert SimHasher.simhash64("") == 0
+
+
+def test_simhash_candidates_exact_for_small_hamming():
+    """Pigeonhole: with 4 bands and max_hamming=3 the candidate set is
+    COMPLETE — output must equal brute-force hamming<=3 over all pairs."""
+    docs = [d for d in DOCS if d]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs}))
+    got = simhash_candidates(ds).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    sh = [SimHasher.simhash64(d) for d in docs]
+    want = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            ham = bin(sh[i] ^ sh[j]).count("1")
+            if ham <= 3:
+                want.append((i, j, ham))
+    assert list(map(tuple, got[["id_a", "id_b", "hamming"]]
+                    .itertuples(index=False))) == want
+
+
+def test_fingerprint_order_sensitive_deterministic():
+    from ee_outliers_ray.textstats import fingerprint
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta gamma", "gamma beta alpha",
+                 "alpha beta gamma", ""]}))
+    out = fingerprint(ds).to_pandas().sort_values("doc_id")
+    fps = out["fingerprint"].tolist()
+    assert fps[0] == fps[2]       # identical text -> identical fp
+    assert fps[0] != fps[1]       # order-sensitive
+    out2 = fingerprint(ds).to_pandas().sort_values("doc_id")
+    assert fps == out2["fingerprint"].tolist()
+
+
+def test_langid_vectorized_matches_heuristic():
+    from ee_outliers_ray.textstats import _LANG_STOPWORDS, langid
+
+    texts = ["the cat is in the house and it was good",
+             "de kat is niet in het huis en ik ben",
+             "le chat est dans la maison et il est",
+             "der Hund ist nicht in das Haus und er",
+             "xyzzy plugh nothing matches here",
+             ""]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    out = langid(ds).to_pandas().sort_values("doc_id")
+
+    def ref_predict(text):
+        toks = tokenize(text)
+        best, best_score = "und", 0
+        for lang, stops in _LANG_STOPWORDS.items():
+            score = sum(1 for t in toks if t in stops)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    assert out["lang_pred"].tolist() == [ref_predict(t) for t in texts]
+
+
+def test_embedding_dups_verified_cosine():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    vecs = [base + rng.standard_normal(16) * 0.01 for _ in range(3)]
+    vecs += [rng.standard_normal(16) for _ in range(20)]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs]}))
+    from ee_outliers_ray.similarity import embedding_near_dups
+
+    out = embedding_near_dups(ds, threshold=0.95).to_pandas()
+    got_pairs = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert {(0, 1), (0, 2), (1, 2)} <= got_pairs
+    m = np.stack([v / np.linalg.norm(v) for v in vecs])
+    sims = m @ m.T
+    for a, b in got_pairs:
+        assert sims[a, b] >= 0.95 - 1e-9

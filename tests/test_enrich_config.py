@@ -235,3 +235,50 @@ training_data_size_pct=10
     out2 = run_model(cfgs[0], events).to_pandas()
     # seeded sample -> deterministic, and far fewer rows than the full run
     assert sorted(out1["event_id"]) == sorted(out2["event_id"])
+
+
+def test_grok_library_and_custom_patterns():
+    from ee_outliers_ray.derived import DerivedFields, grok_to_regex
+    import re as _re
+
+    # nested standard patterns compile and match
+    rx = grok_to_regex("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{IP:ip}")
+    m = _re.search(rx, "2024-03-07T12:34:56Z ERROR 10.1.2.3 boom")
+    assert m and m.group("lvl") == "ERROR" and m.group("ip") == "10.1.2.3"
+    rx2 = grok_to_regex("%{URI:uri}")
+    assert _re.search(rx2, "go https://example.com:8443/a/b?x=1 now") \
+        .group("uri").startswith("https://example.com")
+    # custom patterns extend the library (pygrok custom dirs parity)
+    rx3 = grok_to_regex("%{TICKET:t}",
+                        custom_patterns={"TICKET": r"[A-Z]{2,5}-%{POSINT}"})
+    assert _re.search(rx3, "see ABC-1234.").group("t") == "ABC-1234"
+
+    stage = DerivedFields({"msg": "%{LOGLEVEL:level}: %{GREEDYDATA:rest}"})
+    b = pa.table({"msg": ["WARN: disk low", "no level here"]})
+    out = stage(b)
+    assert out["derived_level"].to_pylist() == ["WARN", None]
+
+
+def test_grok_patterns_section_in_config(tmp_path):
+    from ee_outliers_ray.models.config import load_use_cases
+
+    p = tmp_path / "uc.conf"
+    p.write_text("""
+[grok_patterns]
+TICKET=[A-Z]{2,5}-%{POSINT}
+
+[derivedfields]
+msg=%{TICKET:ticket}
+
+[terms_t]
+aggregator=a
+target=b
+use_derived_fields=1
+target_count_method=within_aggregator
+trigger_method=float
+trigger_sensitivity=2
+trigger_on=low
+""")
+    cfgs = load_use_cases(str(p))
+    assert cfgs[0].custom_grok == {"ticket": "[A-Z]{2,5}-%{POSINT}"} or \
+        cfgs[0].custom_grok == {"TICKET": "[A-Z]{2,5}-%{POSINT}"}
