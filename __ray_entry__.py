@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
         "word2vec_outliers": P.word2vec_outliers,
+        "word2vec_prob_scores": P.word2vec_prob_scores,
         "enrichment": P.enrichment_snapshot,
         "whitelist_housekeeping": P.whitelist_housekeeping,
         # --- dedup ---
@@ -432,6 +433,33 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY e.event_id LIMIT 50)
             SELECT event_id, 1 AS total_outliers
             FROM flagged WHERE event_type <> 'error'""",
+        # the word2vec PROBABILITY model (exact path) in SQL: skip-gram
+        # pairs in a +-2 window per lang group, P(context|center) with
+        # the reference's +1 counting quirk
+        # (ml_models/word2vec.py:237-250), arithmetic mean of log probs
+        # per document (output_prob=0 mode)
+        "word2vec_prob_scores": """
+            WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 200),
+            tok AS (SELECT doc_id, lang, unnest(toks) AS w,
+                           unnest(range(1, len(toks) + 1)) AS pos
+                    FROM d),
+            pr AS (SELECT a.lang, a.doc_id, a.w AS cw, b.w AS xw
+                   FROM tok a JOIN tok b
+                     ON a.doc_id = b.doc_id
+                    AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+                    AND a.pos <> b.pos),
+            pc_ AS (SELECT lang, cw, xw, count(*) AS c
+                    FROM pr GROUP BY 1, 2, 3),
+            ct AS (SELECT lang, cw, sum(c) AS tot FROM pc_ GROUP BY 1, 2),
+            probs AS (SELECT pc_.lang, pc_.cw, pc_.xw,
+                             (pc_.c + 1)::DOUBLE / (ct.tot + 1) AS p
+                      FROM pc_ JOIN ct USING (lang, cw))
+            SELECT pr.doc_id,
+                   round(avg(ln(p.p)), 6) AS w2v_prob_score
+            FROM pr JOIN probs p
+              ON pr.lang = p.lang AND pr.cw = p.cw AND pr.xw = p.xw
+            GROUP BY pr.doc_id""",
         # no oracle (non-SQL-expressible / approximate / stubbed):
         # dedup_simhash, ann_ivf, embedding_dups, fingerprints,
         # word2vec_outliers, media_features

@@ -124,6 +124,11 @@ def pipeline_timings() -> dict:
     }
     import ray.data
 
+    # warm the cluster (worker spawn + read cache) so per-pipeline times
+    # measure the pipelines, not one-time cluster startup
+    P.count_events(SF_DIR)
+    P.dedup_exact(SF_DIR).count()
+
     out = {}
     for name in names:
         t0 = time.time()

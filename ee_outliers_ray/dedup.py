@@ -253,25 +253,91 @@ def candidate_id_filter(ds, cand_ids: np.ndarray, id_col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _pairs_from_bucket_rows(rows: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Distinct (id_a, id_b) pairs from crowded (bucket, id) rows —
+    driver-side vectorized path (rows are candidate-scale, not corpus)."""
+    rows = rows.drop_duplicates().sort_values(["bucket", id_col])
+    out_a, out_b = [], []
+    for _, g in rows.groupby("bucket", sort=False):
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)}) \
+        .drop_duplicates().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+
 def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_shards: int = 4, **lsh_kw):
+                      num_shards: int = 4,
+                      max_driver_candidate_rows: int = 2_000_000, **lsh_kw):
     """Full near-dup pipeline: LSH candidates verified with exact
     (hashed-shingle-set) Jaccard.
+
+    Candidate rows (crowded-bucket members) are bounded by duplicate
+    clusters, not corpus size: below ``max_driver_candidate_rows`` the
+    pair generation runs vectorized on the driver (saves two groupby
+    shuffles); above it, the fully distributed
+    ``minhash_lsh_candidates`` path runs instead.
 
     Verification state is a hash-sharded actor store of candidate docs'
     sorted-unique shingle hashes — built distributed (map tasks push to
     shards), fetched per verify batch.  No corpus text ever reaches the
     driver or a broadcast."""
-    from .lookup import ShardedStore
+    import ray.data
+    from ray.data.aggregate import Count
+
     from .functions import duck_round
+    from .lookup import ShardedStore
 
-    cand = minhash_lsh_candidates(ds, shingle_k=shingle_k, text_col=text_col,
-                                  id_col=id_col, **lsh_kw).materialize()
+    mh_kw = dict(shingle_k=shingle_k, text_col=text_col, id_col=id_col)
+    buckets = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={**mh_kw, **lsh_kw},
+        batch_format="pyarrow", concurrency=2).materialize()
+    sizes = buckets.groupby("bucket").aggregate(Count(alias_name="n"))
+    crowded = sizes.filter(expr="n >= 2").to_pandas()
 
-    id_df = cand.to_pandas()
+    def _empty():
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+
+    if crowded.empty:
+        return _empty()
+    n_crowded_rows = int(crowded["n"].sum())
+
+    vs = pa.array(crowded["bucket"].to_numpy(np.int64))
+
+    def keep_crowded(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["bucket"], value_set=vs))
+
+    filt = buckets.map_batches(keep_crowded, batch_format="pyarrow")
+    if n_crowded_rows <= max_driver_candidate_rows:
+        id_df = _pairs_from_bucket_rows(
+            filt.to_pandas().rename(columns={id_col: id_col}), id_col)
+    else:
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                     "id_b": pd.Series(dtype=np.int64)})
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+        id_df = distinct_pairs(
+            filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
+        ).to_pandas()
     if id_df.empty:
-        return cand
+        return _empty()
+    cand = ray.data.from_pandas(id_df)
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
                                          id_df["id_b"].to_numpy(np.int64)]))
 

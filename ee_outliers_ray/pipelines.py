@@ -626,6 +626,45 @@ def word2vec_outliers(sf_dir: str, limit: int = 200):
     return df[["doc_id", "w2v_score"]]
 
 
+def word2vec_prob_scores(sf_dir: str, limit: int = 200):
+    """Exact word2vec probability-model text scores (use_prob_model with
+    output_prob=0 -> arithmetic mean of log pair probabilities, incl.
+    the reference's +1 counting quirk) per document, grouped by lang —
+    fully SQL-expressible, so this pins the prob-model semantics against
+    a DuckDB oracle.  Docs with <2 space-separated tokens produce no
+    pairs and are excluded (mirrored in SQL)."""
+    from .models.word2vec import GroupWord2Vec, W2VSettings
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .limit(limit)
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        s = W2VSettings(use_prob_model=True, output_prob=False,
+                        separators=" ", size_window=2,
+                        trigger_focus="text", trigger_score="mean")
+        m = GroupWord2Vec(s)
+        texts = g["text"].tolist()
+        m.prepare(texts)
+        res = m.find_outliers(texts)
+        if not res:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "w2v_prob_score": pd.Series(dtype=np.float64)})
+        idx = [r["text_idx"] for r in res]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].iloc[idx].to_numpy(),
+            "w2v_prob_score": duck_round(
+                [r["score"] for r in res], ROUND_SCORE)})
+
+    out = ds.groupby("lang").map_groups(fn, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "w2v_prob_score": pd.Series(dtype=np.float64)})
+    return df[["doc_id", "w2v_prob_score"]]
+
+
 def enrichment_snapshot(sf_dir: str):
     """Enrichment pipeline (S5 semantics): flag docs via the terms model,
     merge outlier arrays + tag, return enriched rows (rows-only)."""
