@@ -57,8 +57,12 @@ def _run(args) -> None:
     watcher = FileModificationWatcher(watched)
     schedule = CronSchedule(args.cron) if args.cron else None
 
+    from .sources import read_events
+
     for iteration in range(args.repeat):
-        ds = ray.data.read_parquet(args.input)
+        # parquet / csv / ndjson inputs (format inferred), timestamps
+        # normalized to the engine-wide us unit
+        ds = read_events(args.input)
         if args.wipe:
             ds = remove_all_outliers(ds)
         timings: list[tuple[str, float, int]] = []

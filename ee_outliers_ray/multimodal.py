@@ -78,6 +78,118 @@ def decode_features(ds, *, feature_dim: int = 16, fake: bool = True,
                           concurrency=concurrency)
 
 
+class MediaResize:
+    """Actor-pool stage: image payload -> resized payload + updated
+    typed metadata.  The pixel kernel is stubbed like MediaDecode (a
+    real one would PIL.Image.resize); the Ray-side contract is real:
+    payload-in/payload-out with (width, height) rewritten, non-image
+    rows passed through untouched, small batches."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224,
+                 fake: bool = True):
+        self.target_w = target_w
+        self.target_h = target_h
+        self.fake = fake
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        if not self.fake:
+            raise NotImplementedError(
+                "image resize requires PIL, not available here; "
+                "run with fake=True for the deterministic stub")
+        # deterministic fake: size-proportional byte resample
+        n_out = max(1, self.target_w * self.target_h // 1024)
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        idx = np.linspace(0, len(arr) - 1, num=min(n_out, len(arr)),
+                          dtype=np.int64)
+        return arr[idx].tobytes()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kinds = b["kind"].to_numpy(zero_copy_only=False)
+        payloads = b["payload"].to_pylist()
+        out_payload = [self._resize_one(p) if k == "image" else p
+                       for k, p in zip(kinds, payloads)]
+        is_img = pa.array(kinds == "image")
+        w = pc.if_else(is_img, pa.scalar(self.target_w, pa.int32()),
+                       b["width"])
+        h = pc.if_else(is_img, pa.scalar(self.target_h, pa.int32()),
+                       b["height"])
+        cols = {n_: b[n_] for n_ in b.column_names}
+        cols["payload"] = pa.array(out_payload, type=pa.binary())
+        cols["width"], cols["height"] = w, h
+        return pa.table(cols)
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> K evenly-spaced frame payloads
+    (one output row per sampled frame).  The frame extraction is stubbed
+    (a real one would ffmpeg-seek); the fan-out contract — row explosion
+    with frame_idx/frame_ts_ms, payload dropped after sampling — is
+    real."""
+
+    def __init__(self, num_frames: int = 4, fake: bool = True):
+        self.num_frames = num_frames
+        self.fake = fake
+
+    def _sample_one(self, payload: bytes, duration_ms: int
+                    ) -> list[tuple[int, int, bytes]]:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg, not available here; "
+                "run with fake=True for the deterministic stub")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        k = self.num_frames
+        out = []
+        for i in range(k):
+            ts = (duration_ms * i) // max(1, k)
+            lo = (len(arr) * i) // k
+            hi = (len(arr) * (i + 1)) // k
+            out.append((i, int(ts), arr[lo:hi].tobytes()))
+        return out
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, kinds = b["media_id"].to_pylist(), b["kind"].to_pylist()
+        payloads = b["payload"].to_pylist()
+        durs = b["duration_ms"].to_pylist()
+        o_id, o_idx, o_ts, o_frame = [], [], [], []
+        for mid, kind, p, d in zip(ids, kinds, payloads, durs):
+            if kind != "video":
+                continue
+            for idx, ts, frame in self._sample_one(p, d or 0):
+                o_id.append(mid)
+                o_idx.append(idx)
+                o_ts.append(ts)
+                o_frame.append(frame)
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame_idx": pa.array(o_idx, type=pa.int32()),
+            "frame_ts_ms": pa.array(o_ts, type=pa.int32()),
+            "frame": pa.array(o_frame, type=pa.binary()),
+        })
+
+
+def resize_images(ds, *, target_w: int = 224, target_h: int = 224,
+                  fake: bool = True, batch_size: int = 256, concurrency=2):
+    return ds.map_batches(MediaResize,
+                          fn_constructor_kwargs=dict(target_w=target_w,
+                                                     target_h=target_h,
+                                                     fake=fake),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds, *, num_frames: int = 4, fake: bool = True,
+                  batch_size: int = 64, concurrency=2):
+    """Video rows fan out to one row per sampled frame (flat_map shape
+    expressed as a batch transform)."""
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs=dict(num_frames=num_frames,
+                                                     fake=fake),
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic synthetic media table matching MEDIA_SCHEMA."""
     rng = np.random.default_rng(seed)
