@@ -67,24 +67,40 @@ class IvfIndex:
 
     def fit_dataset(self, ds, vec_col: str = "embedding",
                     max_sample: int = 4096) -> "IvfIndex":
-        """Fit on a bounded deterministic sample drawn distributed — a
-        per-batch seeded reservoir-style thinning keeps at most
-        ``max_sample`` vectors total; the full table never reaches the
-        driver."""
-        seed = self.seed
+        """Fit on a bounded deterministic sample drawn distributed: rows
+        whose vector-bytes hash falls under ``max_sample/n`` of the key
+        space are kept — independent of Ray's batching/parallelism, so
+        the centroids (and the ANN results) are stable across runs.  The
+        full table never reaches the driver."""
+        from .hashing import hash_bytes_segments
+
+        n = max(1, ds.count())
+        frac = min(1.0, (2.0 * max_sample) / n)  # 2x margin, then limit
+        thresh = np.uint64(min(2**64 - 1, int(frac * 2.0**64)))
 
         def thin(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            # deterministic per-batch thinning: keep a slice proportional
-            # to the batch (seeded by batch content length), upper-bounded
-            rng = np.random.default_rng(seed + n)
-            keep = min(n, max(1, max_sample // 64))
-            idx = np.sort(rng.choice(n, size=keep, replace=False))
-            return b.take(pa.array(idx))
+            col = b[vec_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()
+            offsets = col.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            offsets = offsets - offsets[0]  # flatten() already re-bases
+            width = flat.type.bit_width // 8
+            raw = np.frombuffer(
+                flat.buffers()[1], dtype=np.uint8,
+                count=len(flat) * width,
+                offset=flat.offset * width)
+            h = hash_bytes_segments(raw, offsets * width)
+            keep = h <= thresh
+            return pa.table({vec_col: col.filter(pa.array(keep)),
+                             "_h": pa.array(h[keep].view(np.int64))})
 
         sample_tbl = ds.select_columns([vec_col]) \
             .map_batches(thin, batch_format="pyarrow") \
             .limit(max_sample).to_pandas()
+        # hash-ordered: stable regardless of Ray's block splitting
+        sample_tbl = sample_tbl.sort_values("_h", kind="stable")
         sample = np.array(sample_tbl[vec_col].tolist(), dtype=np.float64)
         return self.fit(sample)
 

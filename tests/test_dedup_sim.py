@@ -192,3 +192,12 @@ def test_embedding_dups_verified_cosine():
     sims = m @ m.T
     for a, b in got_pairs:
         assert sims[a, b] >= 0.95 - 1e-9
+
+
+def test_ann_ivf_recall_vs_brute_force():
+    from ee_outliers_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    iv = set(P.ann_ivf(sf).to_pandas().vec_id)
+    bc = set(P.ann_cosine(sf).to_pandas().vec_id)
+    assert len(iv & bc) / 10 >= 0.8
