@@ -66,41 +66,48 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         Count(alias_name="n_dups"))
 
 
-def filter_crowded_buckets(buckets_ds, key_cols: list[str]):
-    """Keep only rows of buckets with >= 2 members.
+def _bucket_key_arr(tbl_or_df, key_cols: list[str], from_pandas: bool):
+    cols = []
+    for c in key_cols:
+        a = pa.Array.from_pandas(tbl_or_df[c]) if from_pandas \
+            else tbl_or_df[c]
+        cols.append(pc.cast(a, pa.string()))
+    return cols[0] if len(cols) == 1 else \
+        pc.binary_join_element_wise(*cols, "\x1f")
+
+
+def crowded_buckets(buckets_ds, key_cols: list[str]):
+    """(filtered dataset of crowded-bucket rows, crowded sizes DataFrame).
 
     Bucket sizes come from a vectorized grouped aggregate; the crowded-key
     set (bounded by the number of duplicate clusters, tiny relative to the
     corpus) is broadcast into a vectorized ``pc.is_in`` membership filter.
+    The input is materialized once so the size aggregate and the
+    downstream pair generation share one signature pass.
     """
     import ray
     from ray.data.aggregate import Count
 
-    # materialize once: the bucket rows (ids + hashes only, small columns)
-    # feed both the size aggregate and the downstream pair generation —
-    # without this the signature stage upstream would execute twice
     buckets_ds = buckets_ds.materialize()
     sizes = buckets_ds.groupby(key_cols).aggregate(Count(alias_name="n"))
-    crowded = sizes.filter(expr="n >= 2").select_columns(key_cols).to_pandas()
+    crowded = sizes.filter(expr="n >= 2").to_pandas()
 
-    def _key_arr(tbl_or_df, from_pandas: bool):
-        cols = []
-        for c in key_cols:
-            a = pa.Array.from_pandas(tbl_or_df[c]) if from_pandas \
-                else tbl_or_df[c]
-            cols.append(pc.cast(a, pa.string()))
-        return cols[0] if len(cols) == 1 else \
-            pc.binary_join_element_wise(*cols, "\x1f")
-
-    value_set = _key_arr(crowded, from_pandas=True)
+    value_set = _bucket_key_arr(crowded, key_cols, from_pandas=True) \
+        if not crowded.empty else pa.array([], type=pa.string())
     ref = ray.put(value_set)
 
     def f(b: pa.Table) -> pa.Table:
         vs = ray.get(ref)
-        return b.filter(pc.is_in(_key_arr(b, from_pandas=False),
+        return b.filter(pc.is_in(_bucket_key_arr(b, key_cols, False),
                                  value_set=vs))
 
-    return buckets_ds.map_batches(f, batch_format="pyarrow")
+    return buckets_ds.map_batches(f, batch_format="pyarrow"), crowded
+
+
+def filter_crowded_buckets(buckets_ds, key_cols: list[str]):
+    """Keep only rows of buckets with >= 2 members."""
+    filt, _ = crowded_buckets(buckets_ds, key_cols)
+    return filt
 
 
 def distinct_pairs(cand_ds, extra_max_col: str | None = None):
@@ -292,7 +299,6 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
     shards), fetched per verify batch.  No corpus text ever reaches the
     driver or a broadcast."""
     import ray.data
-    from ray.data.aggregate import Count
 
     from .functions import duck_round
     from .lookup import ShardedStore
@@ -300,9 +306,8 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
     mh_kw = dict(shingle_k=shingle_k, text_col=text_col, id_col=id_col)
     buckets = ds.map_batches(
         MinHasher, fn_constructor_kwargs={**mh_kw, **lsh_kw},
-        batch_format="pyarrow", concurrency=2).materialize()
-    sizes = buckets.groupby("bucket").aggregate(Count(alias_name="n"))
-    crowded = sizes.filter(expr="n >= 2").to_pandas()
+        batch_format="pyarrow", concurrency=2)
+    filt, crowded = crowded_buckets(buckets, ["bucket"])
 
     def _empty():
         return ray.data.from_arrow(pa.table({
@@ -314,15 +319,8 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
         return _empty()
     n_crowded_rows = int(crowded["n"].sum())
 
-    vs = pa.array(crowded["bucket"].to_numpy(np.int64))
-
-    def keep_crowded(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["bucket"], value_set=vs))
-
-    filt = buckets.map_batches(keep_crowded, batch_format="pyarrow")
     if n_crowded_rows <= max_driver_candidate_rows:
-        id_df = _pairs_from_bucket_rows(
-            filt.to_pandas().rename(columns={id_col: id_col}), id_col)
+        id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
     else:
         def pairs(g: pd.DataFrame) -> pd.DataFrame:
             ids = np.unique(g[id_col].to_numpy())
@@ -404,7 +402,8 @@ class SimHasher:
 
 def simhash_candidates(ds, *, hamming_bands: int = 4,
                        max_hamming: int = 3, max_bucket: int = 512,
-                       text_col: str = "text", id_col: str = "doc_id"):
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_driver_candidate_rows: int = 2_000_000):
     """SimHash near-dups: docs sharing any 16-bit band of the 64-bit
     simhash are candidates (complete for hamming distance < hamming_bands
     by pigeonhole), then VERIFIED by exact hamming distance <=
@@ -436,10 +435,6 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
                          "band_val": pa.array(out_v),
                          "simhash": pa.array(np.tile(sh, hamming_bands))})
 
-    buckets = filter_crowded_buckets(
-        sigs.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_val"])
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
         truncated = max(0, len(g) - max_bucket)
@@ -464,6 +459,30 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
                              "hamming": ham[keep].astype(np.int64),
                              "truncated": np.int64(truncated)})
 
-    cand = buckets.groupby(["band_id", "band_val"]).map_groups(
+    filt, crowded = crowded_buckets(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_val"])
+    if crowded.empty:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64())}))
+    if int(crowded["n"].sum()) <= max_driver_candidate_rows:
+        # driver-side pair generation (crowded rows are dup-cluster-
+        # bounded); saves the pairs + distinct groupby shuffles
+        import ray.data
+
+        rows = filt.to_pandas()
+        parts = [pairs(g) for _, g in
+                 rows.groupby(["band_id", "band_val"], sort=False)]
+        cand = (pd.concat(parts, ignore_index=True) if parts
+                else pairs(rows.iloc[0:0]))
+        cand = cand.sort_values(["id_a", "id_b"]) \
+            .drop_duplicates(["id_a", "id_b"]) \
+            [["id_a", "id_b", "hamming"]].reset_index(drop=True)
+        return ray.data.from_pandas(cand)
+    cand = filt.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")
     return distinct_pairs(cand, extra_max_col="hamming")

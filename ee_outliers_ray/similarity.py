@@ -179,14 +179,24 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
 
     planes = rng.standard_normal(
         (n_planes, _first_dim(ds, vec_col)))
-    from .dedup import candidate_id_filter, distinct_pairs, \
-        filter_crowded_buckets
+    import ray.data
+
+    from .dedup import candidate_id_filter, crowded_buckets, distinct_pairs
     from .lookup import ShardedStore
 
-    buckets = filter_crowded_buckets(
+    filt, crowded = crowded_buckets(
         ds.map_batches(Signer, fn_constructor_kwargs={"planes": planes},
                        batch_format="pyarrow", concurrency=2),
         ["band_id", "band_val"])
+
+    def _empty():
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+
+    if crowded.empty:
+        return _empty()
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g[id_col].to_numpy())
@@ -196,16 +206,21 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cand = distinct_pairs(buckets.groupby(["band_id", "band_val"])
-                          .map_groups(pairs, batch_format="pandas")) \
-        .materialize()
-    id_df = cand.to_pandas()
+    if int(crowded["n"].sum()) <= 2_000_000:
+        # driver-side pair generation (dup-cluster-bounded rows)
+        rows = filt.to_pandas()
+        parts = [pairs(g) for _, g in
+                 rows.groupby(["band_id", "band_val"], sort=False)]
+        id_df = (pd.concat(parts, ignore_index=True)
+                 .drop_duplicates().sort_values(["id_a", "id_b"])
+                 .reset_index(drop=True)) if parts else pairs(rows.iloc[0:0])
+    else:
+        id_df = distinct_pairs(
+            filt.groupby(["band_id", "band_val"])
+            .map_groups(pairs, batch_format="pandas")).to_pandas()
     if id_df.empty:
-        out = pa.table({"id_a": pa.array([], type=pa.int64()),
-                        "id_b": pa.array([], type=pa.int64()),
-                        "cosine": pa.array([], type=pa.float64())})
-        import ray.data
-        return ray.data.from_arrow(out)
+        return _empty()
+    cand = ray.data.from_pandas(id_df)
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
                                          id_df["id_b"].to_numpy(np.int64)]))
 
