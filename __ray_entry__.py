@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact": P.dedup_exact,
         "dedup_minhash": P.dedup_minhash,
+        "dedup_ngram": P.dedup_ngram,
         "dedup_simhash": P.dedup_simhash,
         # --- similarity search ---
         "ann_cosine": P.ann_cosine,
@@ -178,7 +179,35 @@ def oracle_sql() -> dict[str, str]:
     search_preds = " AND ".join(
         f"list_contains({TOK}, '{t}')" for t in SEARCH_TERMS)
     stop_list = "['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was']"
+    # exhaustive pairwise 3-gram Jaccard >= 0.5 — the truth for BOTH
+    # near-dup text pipelines: dedup_ngram (exact prefix-filter join)
+    # and dedup_minhash (LSH; exact here because recall is ~1 at the
+    # corpus's similarity levels, validated exhaustively)
+    jaccard_sql = f"""
+            WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            idx AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
+                    FROM tok WHERE len(toks) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+              FROM idx
+              UNION
+              SELECT DISTINCT doc_id, array_to_string(toks, ' ')
+              FROM tok WHERE len(toks) BETWEEN 1 AND 2),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pair_inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pair_inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5"""
     return {
+        "dedup_ngram": jaccard_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""
@@ -365,33 +394,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]')) AS bpe_tokens
             FROM documents""",
-        # exhaustive pairwise Jaccard >= threshold: the LSH pipeline is
-        # exact on any corpus where its recall is 1 (verification is exact
-        # set Jaccard; bands=32/r=2 captures s>=0.5 pairs w.p. ~1-3e-5 —
-        # validated exhaustively at sf0.001/sf0.01)
-        "dedup_minhash": f"""
-            WITH tok AS (SELECT doc_id, {TOK} AS toks FROM documents),
-            idx AS (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i
-                    FROM tok WHERE len(toks) >= 3),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-              FROM idx
-              UNION
-              SELECT DISTINCT doc_id, array_to_string(toks, ' ')
-              FROM tok WHERE len(toks) BETWEEN 1 AND 2),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            pair_inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM sh a JOIN sh b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
-            FROM pair_inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5""",
+        "dedup_minhash": jaccard_sql,
         "langid": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
             s AS (SELECT doc_id,

@@ -369,6 +369,108 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
+def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_shards: int = 4,
+                       max_driver_candidate_rows: int = 2_000_000):
+    """EXACT n-gram Jaccard near-dup pairs (no MinHash approximation in
+    candidate generation): prefix filtering + exact set verification.
+
+    Prefix filter (similarity-join literature; e.g. Chaudhuri et al.
+    2006 / Bayardo et al. 2007 "All-Pairs"): order each doc's unique
+    shingle hashes ascending; any pair with J >= t must share a shingle
+    within each side's first floor((1-t)*m) + 1 shingles.  Emitting only
+    those prefix shingles as bucket keys keeps buckets rare-shingle-
+    sized (no "the data web" mega-buckets) while staying COMPLETE for
+    the threshold — so output == exhaustive pairwise Jaccard >= t,
+    which is exactly the DuckDB oracle.
+
+    Same shuffle shape as the LSH paths: one groupby on bucket keys,
+    hybrid driver/distributed pair generation, sharded-store exact
+    verify."""
+    import ray.data
+
+    from .functions import duck_round
+    from .lookup import ShardedStore
+
+    class PrefixShingles:
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sh, off = batch_shingle_hashes(b[text_col], shingle_k)
+            usha, uoff = unique_per_segment(sh, off)  # sorted per doc
+            m = (uoff[1:] - uoff[:-1]).astype(np.int64)
+            pref = np.minimum(np.floor((1.0 - threshold) * m).astype(np.int64)
+                              + 1, m)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            from .hashing import _grouped_arange
+
+            idx = _grouped_arange(uoff[:-1], pref)
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, pref)),
+                "bucket": pa.array(usha[idx].view(np.int64)),
+            })
+
+    buckets = ds.map_batches(PrefixShingles, fn_constructor_kwargs={},
+                             batch_format="pyarrow", concurrency=2)
+    filt, crowded = crowded_buckets(buckets, ["bucket"])
+
+    def _empty():
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+
+    if crowded.empty:
+        return _empty()
+    if int(crowded["n"].sum()) <= max_driver_candidate_rows:
+        id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
+    else:
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                     "id_b": pd.Series(dtype=np.int64)})
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+        id_df = distinct_pairs(
+            filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
+        ).to_pandas()
+    if id_df.empty:
+        return _empty()
+    cand = ray.data.from_pandas(id_df)
+    cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
+                                         id_df["id_b"].to_numpy(np.int64)]))
+
+    def make_kv(b: pa.Table):
+        sh, off = batch_shingle_hashes(b[text_col], shingle_k)
+        usha, uoff = unique_per_segment(sh, off)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, [usha[uoff[i]:uoff[i + 1]] for i in range(len(ids))]
+
+    store = ShardedStore(num_shards).build(
+        candidate_id_filter(ds.select_columns([id_col, text_col]),
+                            cand_ids, id_col),
+        make_kv)
+    thr = threshold
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = store.get_many(np.concatenate([ia, ib]))
+        ja = np.empty(len(ia), dtype=np.float64)
+        for i in range(len(ia)):
+            sa, sb = sets.get(int(ia[i])), sets.get(int(ib[i]))
+            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+                ja[i] = 0.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            ja[i] = inter / (len(sa) + len(sb) - inter)
+        out = b.append_column("jaccard", pa.array(duck_round(ja, 6)))
+        return out.filter(pa.array(ja >= thr))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over token unigrams — vectorized: one poly-hash of
     every token in the batch, bitwise majority per doc via chunked

@@ -448,6 +448,16 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     return minhash_near_dups(ds, threshold=threshold)
 
 
+def dedup_ngram(sf_dir: str, threshold: float = 0.5):
+    """EXACT n-gram Jaccard dedup (prefix-filter candidates + exact
+    verify) — same oracle as dedup_minhash, but exact by construction,
+    not by LSH recall."""
+    from .dedup import ngram_jaccard_dups
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_dups(ds, threshold=threshold)
+
+
 def dedup_simhash(sf_dir: str):
     from .dedup import simhash_candidates
 

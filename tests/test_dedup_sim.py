@@ -201,3 +201,32 @@ def test_ann_ivf_recall_vs_brute_force():
     iv = set(P.ann_ivf(sf).to_pandas().vec_id)
     bc = set(P.ann_cosine(sf).to_pandas().vec_id)
     assert len(iv & bc) / 10 >= 0.8
+
+
+def test_ngram_jaccard_dups_exact_vs_exhaustive():
+    """Prefix-filter join output == exhaustive pairwise Jaccard (the
+    operator is exact by construction, incl. near-threshold pairs that
+    LSH could miss)."""
+    from ee_outliers_ray.dedup import ngram_jaccard_dups
+
+    base = "w{} x{} common tokens run alpha beta gamma delta epsilon"
+    docs = [base.format(i, i) for i in range(12)]  # borderline family
+    docs += DOCS
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs}))
+    got = ngram_jaccard_dups(ds, threshold=0.5).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            si, sj = _shingles(docs[i], 3), _shingles(docs[j], 3)
+            if not si and not sj:
+                continue
+            jac = ngram_jaccard(docs[i], docs[j], 3)
+            if jac >= 0.5:
+                want.append((i, j, round(jac, 6)))
+    assert list(map(tuple, got[["id_a", "id_b"]].itertuples(index=False))) \
+        == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"].to_numpy(),
+                       [j for _, _, j in want], atol=1e-9)
+    assert len(want) > 10  # the borderline family actually exercises it
