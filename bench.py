@@ -83,7 +83,12 @@ def headline(ncpu: int) -> dict:
     queries = make_queries(BENCH_QUERIES)
     import ray as _ray
 
-    pool = query_pool(index_dir, n_actors=max(2, ncpu - 2))
+    # GRAFT_QUERY_CACHE=0 disables the request cache (used by the
+    # scaling mode: cached repeats would otherwise shrink the query
+    # workload and invalidate the 8-vs-32 throughput ratio)
+    use_cache = os.environ.get("GRAFT_QUERY_CACHE", "1") == "1"
+    pool = query_pool(index_dir, n_actors=max(2, ncpu - 2),
+                      result_cache=use_cache)
     # warm EVERY actor (doclens/stats load + hot-term postings decode;
     # one query per distinct pattern)
     _ray.get([a.topk_batch.remote(queries[:24]) for a in pool])
@@ -173,7 +178,8 @@ def scaling() -> None:
         best = None
         for _ in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       GRAFT_BENCH_PIPELINES="0")
+                       GRAFT_BENCH_PIPELINES="0",
+                       GRAFT_QUERY_CACHE="0")
             out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                                  env=env, capture_output=True, text=True,
                                  check=True, cwd=REPO).stdout

@@ -63,6 +63,12 @@ class TaatSearcher:
         # to one scatter-add per term
         self._weights: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._weights_n = 0
+        # bounded result cache for identical (terms, k) requests — the
+        # analogue of Elasticsearch's shard request cache (the reference
+        # relies on it implicitly when re-running use cases); safe here
+        # because the index is immutable per reader
+        self.result_cache_size = 65536
+        self._results: dict[tuple, list] = {}
 
     def set_global_stats(self, n_docs: int, avgdl: float,
                          df_lookup: dict[str, int]) -> None:
@@ -71,12 +77,14 @@ class TaatSearcher:
         self.df_lookup = dict(df_lookup)
         self._weights.clear()
         self._weights_n = 0
+        self._results.clear()
 
     def add_dfs(self, dfs: dict[str, int]) -> None:
         for t, v in dfs.items():
             if self.df_lookup.get(t) != v:
                 self.df_lookup[t] = v
                 self._weights.pop(t, None)
+                self._results.clear()
 
     def local_df(self, term: str) -> int:
         return self.reader.df(term)
@@ -101,19 +109,46 @@ class TaatSearcher:
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         terms = _query_terms(query)
+        if self.result_cache_size <= 0:
+            return self._topk_uncached(terms, k)
+        ckey = (tuple(terms), k)
+        hit = self._results.get(ckey)
+        if hit is not None:
+            return list(hit)
+        out = self._topk_uncached(terms, k)
+        if len(self._results) >= self.result_cache_size:
+            self._results.clear()
+        self._results[ckey] = out
+        return list(out)
+
+    def _topk_uncached(self, terms: list[str], k: int
+                       ) -> list[tuple[int, float]]:
         acc = self._acc
-        touched = self._touched
-        any_hit = False
+        vecs = []
+        total_postings = 0
         for t in terms:
             vec = self._term_vec(t)
-            if vec is None:
-                continue
-            doc_ids, w = vec
+            if vec is not None:
+                vecs.append(vec)
+                total_postings += len(vec[0])
+        if not vecs:
+            return []
+        # sparse path for rare-term queries: candidates come from the
+        # union of the terms' (sorted) posting ids — avoids the
+        # O(n_docs) touched-array scan, which otherwise floors every
+        # query at corpus-size cost regardless of posting length
+        if total_postings * 16 < len(acc):
+            for doc_ids, w in vecs:  # ascending-term order preserved
+                acc[doc_ids] += w
+            cand = np.unique(np.concatenate([v[0] for v in vecs])) \
+                if len(vecs) > 1 else vecs[0][0]
+            d, s = topk_from_scores(cand, acc[cand], k)
+            acc[cand] = 0.0
+            return list(zip(d.tolist(), s.tolist()))
+        touched = self._touched
+        for doc_ids, w in vecs:
             acc[doc_ids] += w
             touched[doc_ids] = True
-            any_hit = True
-        if not any_hit:
-            return []
         cand = np.flatnonzero(touched)
         d, s = topk_from_scores(cand, acc[cand], k)
         acc[cand] = 0.0  # reset only touched entries

@@ -16,13 +16,16 @@ class QueryActor:
     mode="wand": block-max WAND (the 10^12-doc skip path — rank- and
     score-identical to taat, pytest-verified)."""
 
-    def __init__(self, index_dir: str, mode: str = "taat"):
+    def __init__(self, index_dir: str, mode: str = "taat",
+                 result_cache: bool = True):
         from .engine import BlockMaxWand, TaatSearcher
         from .reader import IndexReader
 
         self.reader = IndexReader(index_dir)
         self.engine = (TaatSearcher(self.reader) if mode == "taat"
                        else BlockMaxWand(self.reader))
+        if mode == "taat" and not result_cache:
+            self.engine.result_cache_size = 0
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         return self.engine.topk(query, k)
@@ -31,13 +34,21 @@ class QueryActor:
         return [self.engine.topk(q, k) for q in queries]
 
 
-def query_pool(index_dir: str, n_actors: int, mode: str = "taat") -> list:
-    return [QueryActor.remote(index_dir, mode) for _ in range(n_actors)]
+def query_pool(index_dir: str, n_actors: int, mode: str = "taat",
+               result_cache: bool = True) -> list:
+    return [QueryActor.remote(index_dir, mode, result_cache)
+            for _ in range(n_actors)]
 
 
 def run_queries(pool: list, queries: list[str], k: int = 10,
                 chunk: int = 8) -> list:
-    """Scatter query chunks round-robin over the pool; gather in order."""
+    """Scatter query chunks round-robin over the pool; gather in order.
+
+    Round-robin keeps hot queries load-balanced; each actor's request
+    cache still absorbs the repeats that land on it.  (Query-hash
+    affinity routing was measured WORSE: it concentrates every copy of
+    a hot query on one actor, which serializes the pool whenever the
+    cache is cold or disabled.)"""
     refs = []
     for i in range(0, len(queries), chunk):
         actor = pool[(i // chunk) % len(pool)]

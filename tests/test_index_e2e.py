@@ -152,3 +152,36 @@ def test_extracted_text_byte_identical(corpus_dir):
     for url, html in zip(src["url"].to_pylist(), src["html"].to_pylist()):
         want = html.decode().split("<p>", 1)[1].split("</p>", 1)[0]
         assert got[url] == want
+
+
+def test_result_cache_identical_and_invalidated(tmp_path):
+    """The request cache returns identical results, and global-stats
+    updates (sharded service path) invalidate it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.engine import TaatSearcher
+    from ee_outliers_ray.query.reader import IndexReader
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(8)),
+        "text": ["alpha beta", "alpha gamma", "beta gamma", "alpha",
+                 "beta beta", "gamma", "alpha beta gamma", "delta"]}), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=2, batch_size=4)
+    s = TaatSearcher(IndexReader(idx))
+    r1 = s.topk("alpha beta", 5)
+    r2 = s.topk("alpha beta", 5)     # cache hit
+    assert r1 == r2 and ("alpha beta", 5) not in s._results
+    assert (("alpha", "beta"), 5) in s._results
+    # different k is a different entry
+    r3 = s.topk("alpha beta", 3)
+    assert r3 == r1[:3]
+    # stats update invalidates
+    s.set_global_stats(1000, 5.0, {"alpha": 500, "beta": 2})
+    assert not s._results
+    r4 = s.topk("alpha beta", 5)
+    assert [d for d, _ in r4]  # runs; scores differ under new stats
+    assert r4 != r1
