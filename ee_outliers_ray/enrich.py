@@ -82,25 +82,43 @@ def apply_outliers(ds, outlier_entries: dict[int, list[dict]],
     ref = ray.put(wrapped)
 
     def f(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
         store = ray.get(ref)
         ids = b[id_col].to_numpy(zero_copy_only=False)
+        has_prior = outliers_col in b.column_names
+        # vectorized sparse fast path: only rows whose id carries a new
+        # entry (pc.is_in against the entry-id set) run the Python merge;
+        # untouched rows keep their existing enrichment (or nulls) with
+        # no per-row work — outliers are sparse relative to the corpus
+        key_set = pa.array(np.fromiter(store.keys(), dtype=np.int64,
+                                       count=len(store)))
+        hit_mask = pc.is_in(pc.cast(b[id_col], pa.int64()),
+                            value_set=key_set).to_numpy(zero_copy_only=False)
+        hit_idx = np.flatnonzero(hit_mask)
+
         cur_outliers = (b[outliers_col].to_pylist()
-                        if outliers_col in b.column_names else [None] * len(ids))
+                        if has_prior else [None] * len(ids))
         cur_tags = (b[tags_col].to_pylist()
                     if tags_col in b.column_names else [None] * len(ids))
-        new_outliers = []
-        new_tags = []
-        for i, d in enumerate(ids):
+        new_outliers = list(cur_outliers)
+        new_tags = [list(t) if t else [] for t in cur_tags] \
+            if (tags_col in b.column_names or len(hit_idx)) \
+            else [[] for _ in range(len(ids))]
+        for i in hit_idx:
             cur = cur_outliers[i]
-            entries = store.get(int(d))
-            if entries:
-                for e in entries:
-                    cur = _merge_entry(cur, e)
-            new_outliers.append(cur)
-            tags = list(cur_tags[i] or [])
-            if cur is not None and "outlier" not in tags:
-                tags.append("outlier")
-            new_tags.append(tags)
+            for e in store[int(ids[i])]:
+                cur = _merge_entry(cur, e)
+            new_outliers[i] = cur
+            if cur is not None and "outlier" not in new_tags[i]:
+                new_tags[i].append("outlier")
+        # rows with PRIOR enrichment must keep their tag even off-path
+        if has_prior:
+            for i in np.flatnonzero(~hit_mask):
+                if cur_outliers[i] is not None and \
+                        "outlier" not in new_tags[i]:
+                    new_tags[i].append("outlier")
         cols = {n: b[n] for n in b.column_names
                 if n not in (tags_col, outliers_col)}
         cols[tags_col] = pa.array(new_tags, type=pa.list_(pa.string()))
