@@ -42,6 +42,10 @@ from .tokenizer import tokenize, tokenize_column
 
 
 def content_hash_md5(texts) -> list[str]:
+    # md5 has no numpy kernel; the per-row loop stays because the hash
+    # CHOICE is the contract (DuckDB md5() oracle parity).  For
+    # oracle-free exact dedup at scale, hashing.hash_string_array is the
+    # vectorized 64-bit alternative.
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 

@@ -152,7 +152,14 @@ def remove_whitelisted_outliers(ds, whitelist: Whitelist,
     whitelisted entries, untag docs left with none (es.py:274-356)."""
 
     def f(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if outliers_col not in b.column_names:
+            return b
+        # vectorized fast path: batches with no enriched rows pass
+        # through untouched (tagged docs are sparse in the corpus)
+        n_tagged = pc.sum(pc.is_valid(b[outliers_col])).as_py() or 0
+        if n_tagged == 0:
             return b
         outliers = b[outliers_col].to_pylist()
         tags = b[tags_col].to_pylist() if tags_col in b.column_names \
