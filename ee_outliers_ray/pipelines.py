@@ -162,6 +162,46 @@ def bm25_topk(sf_dir: str, query: str = "spark merge batch", k: int = 10):
     })
 
 
+_SHARD_CACHE: dict[str, list] = {}
+
+
+def bm25_topk_sharded(sf_dir: str, query: str = "spark merge batch",
+                      k: int = 10, n_shards: int = 3):
+    """BM25 top-k through the DOC-SHARDED query service (the multi-node
+    scale path: per-shard postings, GLOBAL N/avgdl/df) — must be
+    bit-identical to the single-index engine, so it shares bm25_topk's
+    SQL oracle."""
+    from .query.sharded import ShardedQueryService, build_sharded_index
+
+    if sf_dir not in _SHARD_CACHE:
+        import pyarrow.parquet as pq
+
+        key = hashlib.sha1((sf_dir + "#shards").encode()).hexdigest()[:12]
+        base = f"/tmp/eor_shard_cache/{key}"
+        split_dir = os.path.join(base, "split")
+        if not os.path.exists(os.path.join(base, "done")):
+            os.makedirs(split_dir, exist_ok=True)
+            t = pq.read_table(_t(sf_dir, "documents"),
+                              columns=["doc_id", "text"])
+            n = t.num_rows
+            for i in range(n_shards):
+                lo, hi = i * n // n_shards, (i + 1) * n // n_shards
+                pq.write_table(t.slice(lo, hi - lo),
+                               os.path.join(split_dir, f"part{i:02d}.parquet"))
+            build_sharded_index(split_dir, base, n_shards=n_shards,
+                                from_html=False, num_buckets=8,
+                                batch_size=4096)
+            open(os.path.join(base, "done"), "w").close()
+        _SHARD_CACHE[sf_dir] = [os.path.join(base, f"shard={i}")
+                                for i in range(n_shards)]
+    svc = ShardedQueryService(_SHARD_CACHE[sf_dir])
+    res = svc.topk(query, k=k)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": duck_round([s for _, s in res], ROUND_SCORE),
+    })
+
+
 def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
     """Boolean AND full-text filter via posting-list intersection (Q1 as a
     pure filter): doc_ids containing every term."""
