@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- index / full-text (SURVEY §2 Q1, A11, O8, M13) ---
         "token_counts": P.token_counts,
         "term_df": P.term_df,
+        "index_append_term_df": P.index_append_term_df,
         "term_cf": P.term_cf,
         "top_terms": P.top_terms,
         "corpus_stats": P.corpus_stats,
@@ -212,6 +213,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""
+            SELECT term, count(*) AS df FROM (
+              SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents)
+            GROUP BY term""",
+        # df read from a build+append index must equal full-corpus truth
+        "index_append_term_df": f"""
             SELECT term, count(*) AS df FROM (
               SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents)
             GROUP BY term""",

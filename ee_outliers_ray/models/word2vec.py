@@ -384,6 +384,28 @@ class GroupWord2Vec:
         return results
 
 
+def confusion_matrix(results: list[dict], labels: list[int]) -> dict:
+    """TP/TN/FP/FN + precision/recall/F-score against a per-text 0/1
+    ``label`` column (reference word2vec.py:640-699: evaluation mode for
+    labeled corpora; label==1 means true outlier)."""
+    cm = {"TP": 0, "TN": 0, "FP": 0, "FN": 0}
+    by_idx = {r["text_idx"]: r["is_outlier"] for r in results}
+    for i, lab in enumerate(labels):
+        found = bool(by_idx.get(i, False))
+        if found:
+            cm["TP" if lab == 1 else "FP"] += 1
+        else:
+            cm["FN" if lab == 1 else "TN"] += 1
+    pos = cm["TP"] + cm["FN"]
+    pred = cm["TP"] + cm["FP"]
+    recall = cm["TP"] / pos if pos else None
+    precision = cm["TP"] / pred if pred and cm["TP"] else None
+    f_measure = (2 * precision * recall / (precision + recall)) \
+        if precision is not None and recall else None
+    return {**cm, "precision": precision, "recall": recall,
+            "f_measure": f_measure}
+
+
 def word2vec_model(ds, aggregator, target, *, trigger_method: str = "stdev",
                    trigger_sensitivity: float = 1.0, trigger_on: str = "low",
                    seed: int = 42, order_col: str | None = None,

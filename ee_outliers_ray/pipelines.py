@@ -162,6 +162,42 @@ def bm25_topk(sf_dir: str, query: str = "spark merge batch", k: int = 10):
     })
 
 
+def index_append_term_df(sf_dir: str):
+    """term -> document frequency read FROM A TWO-STEP INDEX: build over
+    the first half of documents, ``append_to_index`` the second half,
+    then aggregate per-term df straight from the merged segment files.
+    Shares term_df's SQL oracle — the incremental (log-structured
+    append) path is therefore driver-checked against a full-corpus
+    truth."""
+    import glob as globlib
+
+    import pyarrow.parquet as pq
+
+    from .index.build import append_to_index
+
+    key = hashlib.sha1((sf_dir + "#append").encode()).hexdigest()[:12]
+    base = f"/tmp/eor_append_cache/{key}"
+    idx = os.path.join(base, "idx")
+    if not os.path.exists(os.path.join(base, "done")):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+        half = t.num_rows // 2
+        first = os.path.join(base, "first.parquet")
+        second = os.path.join(base, "second.parquet")
+        pq.write_table(t.slice(0, half), first)
+        pq.write_table(t.slice(half), second)
+        build_index(first, idx, from_html=False, num_buckets=8,
+                    batch_size=4096, overwrite=True)
+        append_to_index([second], idx, from_html=False, batch_size=4096)
+        open(os.path.join(base, "done"), "w").close()
+    seg_files = sorted(globlib.glob(
+        os.path.join(idx, "segments", "*", "segment.parquet")))
+    parts = [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
+    out = pa.concat_tables(parts).to_pandas()
+    # buckets partition the term space -> terms are globally unique
+    return out.sort_values("term").reset_index(drop=True)
+
+
 _SHARD_CACHE: dict[str, list] = {}
 
 

@@ -184,3 +184,23 @@ def test_reference_example_conf_accepted(tmp_path):
     # which is itself the correct reference behavior
     out = run_model(cfg, ds).to_pandas()
     assert len(out) == 0
+
+
+def test_confusion_matrix_parity():
+    """TP/FP/FN/TN counting + precision/recall/F mirror the reference
+    (word2vec.py:640-699)."""
+    from ee_outliers_ray.models.word2vec import confusion_matrix
+
+    results = [{"text_idx": 0, "is_outlier": True},
+               {"text_idx": 1, "is_outlier": False},
+               {"text_idx": 2, "is_outlier": True},
+               {"text_idx": 3, "is_outlier": False}]
+    labels = [1, 1, 0, 0]  # text0 true outlier found, text1 missed,
+    #                        text2 false alarm, text3 true negative
+    cm = confusion_matrix(results, labels)
+    assert (cm["TP"], cm["FN"], cm["FP"], cm["TN"]) == (1, 1, 1, 1)
+    assert cm["precision"] == 0.5 and cm["recall"] == 0.5
+    assert abs(cm["f_measure"] - 0.5) < 1e-12
+    # degenerate cases mirror the reference's None handling
+    cm2 = confusion_matrix([], [0, 0])
+    assert cm2["recall"] is None and cm2["precision"] is None
