@@ -68,3 +68,73 @@ def test_model_over_csv_source(three_formats):
     out = filter_by_dsl(ds, {"range": {"ts": {"gte": "2024-01-02"}}}) \
         .to_pandas()
     assert sorted(out["event_id"]) == [2, 3]
+
+
+def test_cli_runs_over_csv(tmp_path):
+    """The reference-style CLI accepts a csv input end to end."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ee_outliers_ray.__main__ import main
+
+    df = pd.DataFrame({
+        "event_id": range(40),
+        "event_type": (["click"] * 36) + (["rare"] * 4),
+        "user_id": [i % 6 for i in range(36)] + [99, 99, 98, 98],
+    })
+    src = str(tmp_path / "events.csv")
+    df.to_csv(src, index=False)
+    uc = tmp_path / "uc.conf"
+    uc.write_text("""
+[terms_rare]
+aggregator=event_type
+target=user_id
+target_count_method=across_aggregators
+trigger_method=pct_of_max_value
+trigger_sensitivity=50
+trigger_on=low
+""")
+    out_dir = str(tmp_path / "out")
+    rc = main(["run", "--use-cases", str(uc), "--input", src,
+               "--output", out_dir])
+    assert rc == 0
+    t = pq.read_table(out_dir)
+    assert t.num_rows == 40
+    tagged = t.filter(pc.is_valid(t["outliers"]))
+    assert tagged.num_rows == 4  # the 'rare' aggregator's events
+
+
+def test_sharded_store_roundtrip():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.lookup import ShardedStore
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "v": pa.array((np.arange(100) * 3).astype(np.int64)),
+    }))
+
+    def kv(b):
+        return (b["k"].to_numpy(zero_copy_only=False),
+                b["v"].to_pylist())
+
+    store = ShardedStore(3).build(ds, kv)
+    got = store.get_many(np.array([0, 7, 42, 99, 1000]))
+    assert got[0] == 0 and got[7] == 21 and got[42] == 126 and got[99] == 297
+    assert got[1000] is None
+
+
+def test_cron_dom_dow_or_semantics():
+    """Standard cron: when BOTH day-of-month and day-of-week are
+    restricted, either matching fires (OR)."""
+    import datetime as dt
+
+    from ee_outliers_ray.cron import CronSchedule
+
+    s = CronSchedule("0 0 15 * 1")  # 15th of month OR Mondays
+    t = s.next_run(dt.datetime(2024, 3, 8))  # Friday Mar 8
+    assert t == dt.datetime(2024, 3, 11)     # Monday before the 15th
+    assert s.next_run(t) == dt.datetime(2024, 3, 15)
