@@ -288,10 +288,17 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
     buf[boffs[:-1] + 1] = wt
 
     def pack(values: np.ndarray, widths: np.ndarray, data_off: np.ndarray):
-        # group blocks by (length, width) and pack each group in one shot
+        # group blocks by (length, width) and pack each group in one
+        # shot; ONE argsort finds all groups (a per-key flatnonzero scan
+        # was O(groups x blocks) — hundreds of full passes per batch)
         shape_key = (b_len << 8) | widths
-        for key in np.unique(shape_key):
-            sel = np.flatnonzero(shape_key == key)
+        order = np.argsort(shape_key, kind="stable")
+        sk = shape_key[order]
+        g_starts = np.flatnonzero(
+            np.concatenate([[True], sk[1:] != sk[:-1]]))
+        g_ends = np.append(g_starts[1:], len(order))
+        for gs, ge in zip(g_starts, g_ends):
+            sel = order[gs:ge]
             L = int(b_len[sel[0]])
             w = int(widths[sel[0]])
             k = len(sel)
