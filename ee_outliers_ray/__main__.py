@@ -102,7 +102,15 @@ def _run(args) -> None:
                             time.time() - t0, len(df)))
 
         enriched = apply_outliers(ds, entries, id_col=args.id_col)
-        enriched.write_parquet(args.output)
+        if args.partitions:
+            # resumable sink: per-partition atomic dirs + _SUCCESS
+            # markers; a rerun redoes only missing partitions
+            from .sinks import write_partitioned
+
+            write_partitioned(enriched, args.output, args.id_col,
+                              num_partitions=args.partitions)
+        else:
+            enriched.write_parquet(args.output)
 
         total = sum(n for _, _, n in timings)
         print(f"[iteration {iteration + 1}/{args.repeat}] "
@@ -147,6 +155,9 @@ def main(argv=None) -> int:
                    help="daemon-style re-runs")
     r.add_argument("--sleep", type=float, default=0.0,
                    help="seconds between re-runs")
+    r.add_argument("--partitions", type=int, default=0,
+                   help="write the output as N resumable hash partitions "
+                        "(atomic dirs + _SUCCESS markers)")
     r.add_argument("--cron", default=None,
                    help="5-field cron schedule for re-runs (daemon mode "
                         "parity); overrides --sleep")
