@@ -19,6 +19,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ee_outliers_ray import oracle_hash_sql as _ohs  # noqa: E402
 from ee_outliers_ray import pipelines as P  # noqa: E402
 
 TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -473,7 +474,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pr JOIN probs p
               ON pr.lang = p.lang AND pr.cw = p.cw AND pr.xw = p.xw
             GROUP BY pr.doc_id""",
-        # no oracle (non-SQL-expressible / approximate / stubbed):
-        # dedup_simhash, ann_ivf, embedding_dups, fingerprints,
-        # word2vec_outliers, media_features
+        # hash kernels re-implemented in SQL (UHUGEINT mod-2^64
+        # arithmetic, xor on the signed bit-pattern view) — independent
+        # oracles for the deterministic hash pipelines; bit-exactness of
+        # SQL vs numpy is pinned by tests/test_oracle_hash_sql.py
+        "fingerprints": _ohs.fingerprint_sql(),
+        # exhaustive pairwise hamming over SQL-computed simhashes; the
+        # Ray pipeline's 4-band pigeonhole candidates are complete for
+        # hamming <= 3, so the outputs must match exactly
+        "dedup_simhash": _ohs.simhash_pairs_sql(max_hamming=3),
+        # no oracle (approximate / iterative / stubbed — justified):
+        # ann_ivf, embedding_dups, word2vec_outliers, media_features
     }

@@ -144,6 +144,166 @@ def batch_shingle_hashes(texts: pa.Array, k: int
     return shingle_hashes(th, offsets, k)
 
 
+def _jaccard_packed(ia: np.ndarray, ib: np.ndarray, uids: np.ndarray,
+                    flat: np.ndarray, off: np.ndarray,
+                    present: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for candidate (id_a, id_b) pairs over packed
+    per-unique-id SORTED value arrays — fully vectorized and SORT-FREE.
+
+    Values are rank-compressed (one small ``np.unique`` over the packed
+    uniques, not the pair-expanded data), then each side's per-pair
+    values get the key ``pair_idx * R + rank``.  Because every per-doc
+    array is already sorted and ranks are a monotone map, the
+    concatenated key arrays are globally sorted BY CONSTRUCTION — so
+    intersections need only one binary search of side B into side A
+    (no lexsort over the pair-expanded 10^8-element array, which was
+    the previous kernel's cost).
+
+    Empty-set convention (shared by the minhash and ngram paths,
+    matching the ``ngram_jaccard`` reference kernel): both sides present
+    and empty -> 1.0; any side missing -> 0.0."""
+    from .hashing import _grouped_arange
+
+    n_pairs = len(ia)
+    out = np.zeros(n_pairs, dtype=np.float64)
+    if n_pairs == 0:
+        return out
+    lens = off[1:] - off[:-1]
+    pia = np.searchsorted(uids, ia)
+    pib = np.searchsorted(uids, ib)
+    na, nb = lens[pia], lens[pib]
+    ok = present[pia] & present[pib]
+    gu = np.unique(flat)
+    R = np.int64(len(gu) + 1)
+    assert int(R) * n_pairs < (1 << 62), "rank key overflow; shrink batch"
+    ranks = np.searchsorted(gu, flat).astype(np.int64)
+    pair_idx = np.arange(n_pairs, dtype=np.int64)
+    pair_a = np.repeat(pair_idx, na)
+    pair_b = np.repeat(pair_idx, nb)
+    keys_a = pair_a * R + ranks[_grouped_arange(off[pia], na)]
+    keys_b = pair_b * R + ranks[_grouped_arange(off[pib], nb)]
+    if len(keys_a) and len(keys_b):
+        pos = np.searchsorted(keys_a, keys_b)
+        pos_c = np.minimum(pos, len(keys_a) - 1)
+        found = (pos < len(keys_a)) & (keys_a[pos_c] == keys_b)
+        inter = np.bincount(pair_b[found], minlength=n_pairs).astype(np.int64)
+    else:
+        inter = np.zeros(n_pairs, dtype=np.int64)
+    denom = na + nb - inter
+    nz = ok & (denom > 0)
+    out[nz] = inter[nz] / denom[nz]
+    out[ok & (denom == 0)] = 1.0
+    return out
+
+
+def jaccard_pairs_batch(ia: np.ndarray, ib: np.ndarray,
+                        sets: dict) -> np.ndarray:
+    """Dict-of-arrays front end for ``_jaccard_packed`` (tests and
+    driver-side callers); the distributed verify stage feeds the packed
+    layout straight from ``ShardedStore.get_array_segments``."""
+    n_pairs = len(ia)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.float64)
+    uids = np.unique(np.concatenate([ia, ib]))
+    arrs = [sets.get(int(u)) for u in uids]
+    present = np.fromiter((a is not None for a in arrs), dtype=bool,
+                          count=len(arrs))
+    lens = np.fromiter((0 if a is None else len(a) for a in arrs),
+                       dtype=np.int64, count=len(arrs))
+    off = np.zeros(len(uids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = (np.concatenate([a for a in arrs if a is not None and len(a)])
+            if off[-1] else np.zeros(0, dtype=np.uint64))
+    return _jaccard_packed(ia, ib, uids, flat, off, present)
+
+
+def _jaccard_verify_fn(store, threshold: float):
+    """Shared verify stage for the minhash + ngram near-dup paths: fetch
+    both sides' shingle sets PACKED from the sharded store (one buffer
+    per shard RPC), score the whole batch with ``_jaccard_packed``, keep
+    pairs >= threshold."""
+    from .functions import duck_round
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uids, flat, off, present = \
+            store.get_array_segments(np.concatenate([ia, ib]))
+        ja = _jaccard_packed(ia, ib, uids, flat, off, present)
+        out = b.append_column("jaccard", pa.array(duck_round(ja, 6)))
+        return out.filter(pa.array(ja >= threshold))
+
+    return verify
+
+
+def _driver_verify_jaccard(ds, id_df: pd.DataFrame, *, shingle_k: int,
+                           text_col: str, id_col: str, threshold: float):
+    """Small-candidate fast path shared by the minhash + ngram verifies:
+    fetch the candidate docs' sorted-unique shingle hashes in ONE
+    streaming pass (bounded by candidate count, never corpus size) and
+    score every pair with the packed kernel on the driver — skips the
+    sharded-store actor spawn and two extra dataset executions, which
+    dominate wall time at small scale.  Callers gate this on pair and
+    candidate counts; above the gate the distributed sharded-store
+    verify runs instead."""
+    import ray.data
+
+    from .functions import duck_round
+
+    ia = id_df["id_a"].to_numpy(np.int64)
+    ib = id_df["id_b"].to_numpy(np.int64)
+    cand_ids = np.unique(np.concatenate([ia, ib]))
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        sh, off = batch_shingle_hashes(b[text_col], shingle_k)
+        usha, uoff = unique_per_segment(sh, off)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = (uoff[1:] - uoff[:-1]).astype(np.int64)
+        # uint64 stays uint64: per-doc sort order is the kernel contract,
+        # and no Ray groupby key path is crossed here
+        return pa.table({"id": pa.array(np.repeat(ids, counts)),
+                         "sh": pa.array(usha)})
+
+    rows = candidate_id_filter(ds.select_columns([id_col, text_col]),
+                               cand_ids, id_col) \
+        .map_batches(shingle_rows, batch_format="pyarrow").to_pandas()
+    ids_r = rows["id"].to_numpy(np.int64)
+    sh_r = rows["sh"].to_numpy()
+    order = np.argsort(ids_r, kind="stable")  # keeps per-doc sorted order
+    ids_r, sh_r = ids_r[order], sh_r[order]
+    found, counts = np.unique(ids_r, return_counts=True)
+    # found is a subset of cand_ids in the same ascending order, so the
+    # concatenated values are already laid out in cand_ids order
+    lens = np.zeros(len(cand_ids), dtype=np.int64)
+    present = np.zeros(len(cand_ids), dtype=bool)
+    idx = np.searchsorted(cand_ids, found)
+    lens[idx] = counts
+    present[idx] = True
+    off = np.zeros(len(cand_ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    ja = _jaccard_packed(ia, ib, cand_ids, sh_r, off, present)
+    keep = ja >= threshold
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array(ia[keep]),
+        "id_b": pa.array(ib[keep]),
+        "jaccard": pa.array(duck_round(ja[keep], 6)),
+    }))
+
+
+_DRIVER_VERIFY_MAX_PAIRS = 100_000
+_DRIVER_VERIFY_MAX_IDS = 200_000
+
+
+def _pairs_of_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All distinct unordered id pairs within one bucket group."""
+    ids = np.unique(g[id_col].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+
 def _shingles(text: str, k: int) -> set:
     """Exact token-tuple shingle set (reference kernel for tests and the
     SQL oracle; the pipeline uses the hashed form)."""
@@ -226,22 +386,18 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
     capture prob at Jaccard 0.9 is ~1-1e-7 while random low-similarity
     web pages almost never share a 4-row band (r=2 made bucket sizes —
     and the candidate-pair count — quadratic at corpus scale)."""
+    # instance-callable -> elastic task pool: the permutation arrays are
+    # ~1 KB and microseconds to build, so a fixed actor pool would only
+    # cap parallelism and pay spawn latency (VERDICT r2 item 3)
     buckets = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k, seed=seed,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=2)
+        MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                  seed=seed, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
 
     buckets = filter_crowded_buckets(buckets, ["bucket"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return _pairs_of_group(g, id_col)
 
     cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
     # candidates may repeat across bands -> vectorized distinct
@@ -287,7 +443,7 @@ def _pairs_from_bucket_rows(rows: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_shards: int = 4,
+                      num_shards: int = 8,
                       max_driver_candidate_rows: int = 2_000_000, **lsh_kw):
     """Full near-dup pipeline: LSH candidates verified with exact
     (hashed-shingle-set) Jaccard.
@@ -304,13 +460,11 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
     driver or a broadcast."""
     import ray.data
 
-    from .functions import duck_round
     from .lookup import ShardedStore
 
     mh_kw = dict(shingle_k=shingle_k, text_col=text_col, id_col=id_col)
-    buckets = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={**mh_kw, **lsh_kw},
-        batch_format="pyarrow", concurrency=2)
+    buckets = ds.map_batches(MinHasher(**{**mh_kw, **lsh_kw}),
+                             batch_format="pyarrow")
     filt, crowded = crowded_buckets(buckets, ["bucket"])
 
     def _empty():
@@ -327,21 +481,21 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
         id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
     else:
         def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
-                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                     "id_b": pd.Series(dtype=np.int64)})
-            ia, ib = np.triu_indices(len(ids), k=1)
-            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+            return _pairs_of_group(g, id_col)
 
         id_df = distinct_pairs(
             filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
         ).to_pandas()
     if id_df.empty:
         return _empty()
-    cand = ray.data.from_pandas(id_df)
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
                                          id_df["id_b"].to_numpy(np.int64)]))
+    if (len(id_df) <= _DRIVER_VERIFY_MAX_PAIRS
+            and len(cand_ids) <= _DRIVER_VERIFY_MAX_IDS):
+        return _driver_verify_jaccard(ds, id_df, shingle_k=shingle_k,
+                                      text_col=text_col, id_col=id_col,
+                                      threshold=threshold)
+    cand = ray.data.from_pandas(id_df)
 
     def make_kv(b: pa.Table):
         sh, off = batch_shingle_hashes(b[text_col], shingle_k)
@@ -353,29 +507,16 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
         candidate_id_filter(ds.select_columns([id_col, text_col]),
                             cand_ids, id_col),
         make_kv)
-    thr = threshold
-
-    def verify(b: pa.Table) -> pa.Table:
-        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sets = store.get_many(np.concatenate([ia, ib]))
-        ja = np.empty(len(ia), dtype=np.float64)
-        for i in range(len(ia)):
-            sa, sb = sets.get(int(ia[i])), sets.get(int(ib[i]))
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-                ja[i] = 1.0 if (sa is not None and sb is not None) else 0.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            ja[i] = inter / (len(sa) + len(sb) - inter)
-        out = b.append_column("jaccard", pa.array(duck_round(ja, 6)))
-        return out.filter(pa.array(ja >= thr))
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    # large verify batches: fewer store RPCs, and the sort-free kernel
+    # is O(n) in the batch's expanded values — 16k pairs x ~200 shingles
+    # stays ~25 MB per task
+    return cand.map_batches(_jaccard_verify_fn(store, threshold),
+                            batch_format="pyarrow", batch_size=16384)
 
 
 def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
                        text_col: str = "text", id_col: str = "doc_id",
-                       num_shards: int = 4,
+                       num_shards: int = 8,
                        max_driver_candidate_rows: int = 2_000_000):
     """EXACT n-gram Jaccard near-dup pairs (no MinHash approximation in
     candidate generation): prefix filtering + exact set verification.
@@ -394,27 +535,24 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
     verify."""
     import ray.data
 
-    from .functions import duck_round
     from .lookup import ShardedStore
 
-    class PrefixShingles:
-        def __call__(self, b: pa.Table) -> pa.Table:
-            sh, off = batch_shingle_hashes(b[text_col], shingle_k)
-            usha, uoff = unique_per_segment(sh, off)  # sorted per doc
-            m = (uoff[1:] - uoff[:-1]).astype(np.int64)
-            pref = np.minimum(np.floor((1.0 - threshold) * m).astype(np.int64)
-                              + 1, m)
-            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            from .hashing import _grouped_arange
+    def prefix_shingles(b: pa.Table) -> pa.Table:
+        from .hashing import _grouped_arange
 
-            idx = _grouped_arange(uoff[:-1], pref)
-            return pa.table({
-                id_col: pa.array(np.repeat(ids, pref)),
-                "bucket": pa.array(usha[idx].view(np.int64)),
-            })
+        sh, off = batch_shingle_hashes(b[text_col], shingle_k)
+        usha, uoff = unique_per_segment(sh, off)  # sorted per doc
+        m = (uoff[1:] - uoff[:-1]).astype(np.int64)
+        pref = np.minimum(np.floor((1.0 - threshold) * m).astype(np.int64)
+                          + 1, m)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = _grouped_arange(uoff[:-1], pref)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, pref)),
+            "bucket": pa.array(usha[idx].view(np.int64)),
+        })
 
-    buckets = ds.map_batches(PrefixShingles, fn_constructor_kwargs={},
-                             batch_format="pyarrow", concurrency=2)
+    buckets = ds.map_batches(prefix_shingles, batch_format="pyarrow")
     filt, crowded = crowded_buckets(buckets, ["bucket"])
 
     def _empty():
@@ -429,21 +567,21 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
     else:
         def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            ids = np.unique(g[id_col].to_numpy())
-            if len(ids) < 2:
-                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                     "id_b": pd.Series(dtype=np.int64)})
-            ia, ib = np.triu_indices(len(ids), k=1)
-            return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+            return _pairs_of_group(g, id_col)
 
         id_df = distinct_pairs(
             filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
         ).to_pandas()
     if id_df.empty:
         return _empty()
-    cand = ray.data.from_pandas(id_df)
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
                                          id_df["id_b"].to_numpy(np.int64)]))
+    if (len(id_df) <= _DRIVER_VERIFY_MAX_PAIRS
+            and len(cand_ids) <= _DRIVER_VERIFY_MAX_IDS):
+        return _driver_verify_jaccard(ds, id_df, shingle_k=shingle_k,
+                                      text_col=text_col, id_col=id_col,
+                                      threshold=threshold)
+    cand = ray.data.from_pandas(id_df)
 
     def make_kv(b: pa.Table):
         sh, off = batch_shingle_hashes(b[text_col], shingle_k)
@@ -455,24 +593,11 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         candidate_id_filter(ds.select_columns([id_col, text_col]),
                             cand_ids, id_col),
         make_kv)
-    thr = threshold
-
-    def verify(b: pa.Table) -> pa.Table:
-        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sets = store.get_many(np.concatenate([ia, ib]))
-        ja = np.empty(len(ia), dtype=np.float64)
-        for i in range(len(ia)):
-            sa, sb = sets.get(int(ia[i])), sets.get(int(ib[i]))
-            if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-                ja[i] = 0.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            ja[i] = inter / (len(sa) + len(sb) - inter)
-        out = b.append_column("jaccard", pa.array(duck_round(ja, 6)))
-        return out.filter(pa.array(ja >= thr))
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    # large verify batches: fewer store RPCs, and the sort-free kernel
+    # is O(n) in the batch's expanded values — 16k pairs x ~200 shingles
+    # stays ~25 MB per task
+    return cand.map_batches(_jaccard_verify_fn(store, threshold),
+                            batch_format="pyarrow", batch_size=16384)
 
 
 class SimHasher:
@@ -519,10 +644,8 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
     blow-up guard for pathological bucket collisions on near-identical
     corpora); truncation is counted in the output column ``truncated`` so
     coverage loss is visible, never silent."""
-    sigs = ds.map_batches(SimHasher,
-                          fn_constructor_kwargs=dict(text_col=text_col,
-                                                     id_col=id_col),
-                          batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(SimHasher(text_col=text_col, id_col=id_col),
+                          batch_format="pyarrow")
     width = 64 // hamming_bands
 
     def explode(b: pa.Table) -> pa.Table:

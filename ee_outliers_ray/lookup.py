@@ -30,6 +30,21 @@ class _LookupShard:
         d = self._d
         return [d.get(k) for k in keys]
 
+    def get_packed(self, keys):
+        """For 1-D numpy-array values: ONE concatenated buffer + lengths
+        + presence mask per request.  Serializing one big array is far
+        cheaper than pickling thousands of ~1 KB arrays individually —
+        the per-RPC cost that dominated the dedup verify stage."""
+        d = self._d
+        vals = [d.get(k) for k in keys]
+        present = np.fromiter((v is not None for v in vals), dtype=bool,
+                              count=len(vals))
+        lens = np.fromiter((0 if v is None else len(v) for v in vals),
+                           dtype=np.int64, count=len(vals))
+        nonempty = [v for v in vals if v is not None and len(v)]
+        flat = np.concatenate(nonempty) if nonempty else np.zeros(0)
+        return present, lens, flat
+
     def size(self) -> int:
         return len(self._d)
 
@@ -41,6 +56,8 @@ class ShardedStore:
     (keys, values) for its batch and pushes them straight to the owning
     shards — the driver never sees the data.
     """
+
+    DEFAULT_SHARDS = 8
 
     def __init__(self, num_shards: int = 8):
         self.num_shards = num_shards
@@ -87,3 +104,47 @@ class ShardedStore:
         for ks, vals in zip(key_groups, ray.get(refs)):
             out.update(zip(ks.tolist(), vals))
         return out
+
+    def get_array_segments(self, keys: np.ndarray
+                           ) -> tuple[np.ndarray, np.ndarray,
+                                      np.ndarray, np.ndarray]:
+        """For stores whose values are 1-D numpy arrays: fetch the UNIQUE
+        keys as (uids_sorted, flat_concat, offsets, present) — exactly
+        the packed layout the vectorized verify kernels consume, moved
+        as one buffer per shard RPC instead of per-key pickles."""
+        keys = np.asarray(keys, dtype=np.int64)
+        uniq = np.unique(keys)
+        sh = uniq % self.num_shards
+        refs, masks = [], []
+        for s in range(self.num_shards):
+            m = sh == s
+            if m.any():
+                masks.append(m)
+                refs.append(self.shards[s].get_packed.remote(
+                    uniq[m].tolist()))
+        present = np.zeros(len(uniq), dtype=bool)
+        lens = np.zeros(len(uniq), dtype=np.int64)
+        flats: list = [None] * len(masks)
+        for i, (m, res) in enumerate(zip(masks, ray.get(refs))):
+            p, ln, fl = res
+            present[m] = p
+            lens[m] = ln
+            flats[i] = (np.flatnonzero(m), ln, fl)
+        offsets = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        dtype = next((fl.dtype for _, _, fl in flats if len(fl)), np.uint64)
+        flat = np.empty(total, dtype=dtype)
+        for idx, ln, fl in flats:
+            # scatter this shard's concatenated values into the global
+            # uid-ordered layout (vectorized grouped-arange positions)
+            if not len(fl):
+                continue
+            ln = np.asarray(ln, dtype=np.int64)
+            local_starts = np.zeros(len(ln), dtype=np.int64)
+            np.cumsum(ln[:-1], out=local_starts[1:])
+            pos = (np.arange(len(fl), dtype=np.int64)
+                   - np.repeat(local_starts, ln)
+                   + np.repeat(offsets[idx], ln))
+            flat[pos] = fl
+        return uniq, flat, offsets, present

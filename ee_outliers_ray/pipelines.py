@@ -283,24 +283,25 @@ def segment_revenue(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
+    from .broadcast import cached_get
+
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
         .to_pandas()
     seg_by_key = ray.put(pd.Series(cust["c_mktsegment"].to_numpy(),
                                    index=cust["c_custkey"].to_numpy()))
 
-    class JoinSeg:
-        def __init__(self, ref):
-            self.lookup: pd.Series = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
-            # vectorized dictionary gather (no per-row dict lookups)
-            seg = self.lookup.reindex(keys).to_numpy()
-            return b.append_column("c_mktsegment", pa.array(seg))
+    def join_seg(b: pa.Table) -> pa.Table:
+        # broadcast small side: ray.put once, fetched+deserialized once
+        # per worker process (cached_get), elastic task pool — no fixed
+        # actor-pool cap or spawn latency
+        lookup: pd.Series = cached_get(seg_by_key)
+        keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+        # vectorized dictionary gather (no per-row dict lookups)
+        seg = lookup.reindex(keys).to_numpy()
+        return b.append_column("c_mktsegment", pa.array(seg))
 
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(JoinSeg, fn_constructor_kwargs={"ref": seg_by_key},
-                                batch_format="pyarrow", concurrency=2)
+    joined = orders.map_batches(join_seg, batch_format="pyarrow")
     out = joined.groupby("c_mktsegment").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
         Count(alias_name="n_orders"),

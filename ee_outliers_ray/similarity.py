@@ -20,7 +20,22 @@ from .functions import duck_round
 
 
 def _batch_mat(b: pa.Table, col: str) -> np.ndarray:
-    return np.array(b[col].to_pylist(), dtype=np.float64)
+    """(ndoc, dim) float64 matrix from a fixed-width list<float> column —
+    zero-copy from the Arrow child buffer (one astype, no per-row
+    ``to_pylist`` conversion)."""
+    c = b[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    ndoc = len(c)
+    if ndoc == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    off = c.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    widths = off[1:] - off[:-1]
+    if c.null_count or widths.min() != widths.max():
+        # ragged / null rows: rare slow path, keeps the old semantics
+        return np.array(c.to_pylist(), dtype=np.float64)
+    flat = c.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(ndoc, int(widths[0])).astype(np.float64, copy=False)
 
 
 def _norm(m: np.ndarray) -> np.ndarray:
@@ -155,38 +170,34 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
     hash-sharded vector store of the candidate ids."""
     rng = np.random.default_rng(seed)
     width = n_planes // bands
+    planes = rng.standard_normal((n_planes, _first_dim(ds, vec_col)))
 
-    class Signer:
-        def __init__(self, planes):
-            self.planes = planes
+    def signer(b: pa.Table) -> pa.Table:
+        # plain task stage: the plane matrix is a few KB, shipped in the
+        # closure — an actor pool would only cap parallelism here
+        m = _norm(_batch_mat(b, vec_col))
+        bits = (m @ planes.T) > 0
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        out_val = np.empty(n * bands, dtype=np.int64)
+        pow2 = 1 << np.arange(width)
+        for bi in range(bands):
+            out_val[bi * n:(bi + 1) * n] = \
+                bits[:, bi * width:(bi + 1) * width] @ pow2
+        return pa.table({
+            id_col: pa.array(np.tile(ids, bands)),
+            "band_id": pa.array(
+                np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "band_val": pa.array(out_val),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _norm(_batch_mat(b, vec_col))
-            bits = (m @ self.planes.T) > 0
-            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            n = len(ids)
-            out_val = np.empty(n * bands, dtype=np.int64)
-            pow2 = 1 << np.arange(width)
-            for bi in range(bands):
-                out_val[bi * n:(bi + 1) * n] = \
-                    bits[:, bi * width:(bi + 1) * width] @ pow2
-            return pa.table({
-                id_col: pa.array(np.tile(ids, bands)),
-                "band_id": pa.array(
-                    np.repeat(np.arange(bands, dtype=np.int32), n)),
-                "band_val": pa.array(out_val),
-            })
-
-    planes = rng.standard_normal(
-        (n_planes, _first_dim(ds, vec_col)))
     import ray.data
 
     from .dedup import candidate_id_filter, crowded_buckets, distinct_pairs
     from .lookup import ShardedStore
 
     filt, crowded = crowded_buckets(
-        ds.map_batches(Signer, fn_constructor_kwargs={"planes": planes},
-                       batch_format="pyarrow", concurrency=2),
+        ds.map_batches(signer, batch_format="pyarrow"),
         ["band_id", "band_val"])
 
     def _empty():
@@ -229,7 +240,7 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
         m = _norm(_batch_mat(b, vec_col))
         return ids, [m[i] for i in range(len(ids))]
 
-    store = ShardedStore(4).build(
+    store = ShardedStore(8).build(
         candidate_id_filter(ds.select_columns([id_col, vec_col]),
                             cand_ids, id_col),
         make_kv)
@@ -238,9 +249,15 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
     def verify(b: pa.Table) -> pa.Table:
         ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = store.get_many(np.concatenate([ia, ib]))
-        va = np.stack([vecs[int(i)] for i in ia])
-        vb = np.stack([vecs[int(i)] for i in ib])
+        # packed fetch: one buffer per shard RPC, then vectorized row
+        # gathers for both pair sides (no per-pair Python)
+        uids, flat, off, present = \
+            store.get_array_segments(np.concatenate([ia, ib]))
+        assert present.all(), "candidate vector missing from store"
+        dim = int(off[1] - off[0]) if len(uids) else 0
+        mat = flat.reshape(len(uids), dim)
+        va = mat[np.searchsorted(uids, ia)]
+        vb = mat[np.searchsorted(uids, ib)]
         sims = (va * vb).sum(axis=1)
         keep = sims >= thr
         return pa.table({
