@@ -275,6 +275,10 @@ def hash_any_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_integer(t):
+        if arr.null_count:
+            # to_numpy would yield float64 + NaN, and NaN->int64 is
+            # platform-undefined; pin nulls to a fixed bucket key instead
+            arr = pc.fill_null(arr, 0)
         v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
         return mix64(v.view(np.uint64))
     s = pc.cast(arr, pa.string())

@@ -271,8 +271,20 @@ def _plan_word2vec(cfg, ds, *, reader=None, ts_col="ts"):
         drop_duplicates=cfg.get("drop_duplicates", False, cast=bool),
         min_target_buckets=cfg.get("min_target_buckets", cast=int),
         trigger_focus=cfg.get("trigger_focus", "word"),
-        trigger_score=cfg.get("trigger_score", "center"),
+        trigger_score=_require_trigger_score(cfg),
     )
+
+
+def _require_trigger_score(cfg) -> str:
+    # the reference raises on an unset/invalid trigger_score
+    # (analyzers/word2vec.py:114-116) — a config omitting it must fail
+    # loudly, not silently run with different semantics
+    val = cfg.get("trigger_score")
+    if val is None:
+        raise ValueError(
+            f"word2vec use case {cfg.model_name!r} requires trigger_score "
+            "(center | context | total | mean)")
+    return val
 
 
 _REGISTRY = {

@@ -27,11 +27,41 @@ def _infer_format(path: str) -> str:
     if ext in (".json", ".jsonl", ".ndjson"):
         return "json"
     if os.path.isdir(p):
+        # skip marker/sidecar entries (_SUCCESS, _manifest.json) and keep
+        # scanning past unknown extensions — the first recognizable DATA
+        # file decides the format
         for f in sorted(os.listdir(p)):
-            sub = _infer_format(os.path.join(p, f))
-            if sub:
-                return sub
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                return _infer_format(os.path.join(p, f))
+            except ValueError:
+                continue
     raise ValueError(f"cannot infer input format for {path!r}")
+
+
+# tried in order; first format parsing EVERY non-null value wins
+_TS_FORMATS = (
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%d",
+)
+
+
+def _parse_ts_strings(col) -> pa.Array | pa.ChunkedArray:
+    """String -> timestamp[us] with a small format-fallback chain:
+    space- or T-separated ISO-8601, optional timezone, date-only; a
+    direct Arrow string->timestamp cast (which handles fractional
+    seconds) is the last resort."""
+    for fmt in _TS_FORMATS:
+        try:
+            parsed = pc.strptime(col, format=fmt, unit="us")
+        except pa.ArrowInvalid:
+            continue
+        return pc.cast(parsed, pa.timestamp("us"))
+    return pc.cast(col, pa.timestamp("us"))
 
 
 def normalize_timestamps(ds, ts_cols: list[str] | None = None):
@@ -49,11 +79,8 @@ def normalize_timestamps(ds, ts_cols: list[str] | None = None):
                 b = b.set_column(b.column_names.index(name), name,
                                  pc.cast(col, pa.timestamp("us")))
             elif ts_cols is not None and pa.types.is_string(t):
-                b = b.set_column(
-                    b.column_names.index(name), name,
-                    pc.cast(pc.strptime(col, format="%Y-%m-%d %H:%M:%S",
-                                        unit="us"),
-                            pa.timestamp("us")))
+                b = b.set_column(b.column_names.index(name), name,
+                                 _parse_ts_strings(col))
         return b
 
     return ds.map_batches(f, batch_format="pyarrow")

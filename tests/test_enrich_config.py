@@ -282,3 +282,28 @@ trigger_on=low
     cfgs = load_use_cases(str(p))
     assert cfgs[0].custom_grok == {"ticket": "[A-Z]{2,5}-%{POSINT}"} or \
         cfgs[0].custom_grok == {"TICKET": "[A-Z]{2,5}-%{POSINT}"}
+
+
+def test_word2vec_requires_trigger_score(tmp_path):
+    """A word2vec use case omitting trigger_score must fail loudly
+    (reference analyzers/word2vec.py:114-116), not default silently."""
+    import pytest
+
+    from ee_outliers_ray.models.config import load_use_cases
+
+    conf = tmp_path / "w2v.conf"
+    conf.write_text("""
+[word2vec_testcase]
+es_query_filter=*
+aggregator=agg
+target=cmd
+trigger_focus=text
+""")
+    cfgs = load_use_cases(str(conf))
+    from ee_outliers_ray.models.config import run_model
+    import ray.data
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({"agg": ["a"], "cmd": ["x y"]}))
+    with pytest.raises(ValueError, match="trigger_score"):
+        run_model(cfgs[0], ds)

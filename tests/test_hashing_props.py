@@ -148,3 +148,17 @@ def test_mix64_reference():
     xs = np.array([0, 1, 2, 12345, M64], dtype=np.uint64)
     got = mix64(xs)
     assert [int(g) for g in got] == [ref_mix64(int(x)) for x in xs]
+
+
+def test_hash_any_array_integer_nulls_deterministic():
+    """Null-carrying integer key columns must bucket deterministically
+    (nulls pinned to the hash of 0), not via NaN->int64 UB (ADVICE r2)."""
+    import pyarrow as pa
+
+    from ee_outliers_ray.hashing import hash_any_array
+
+    with_nulls = pa.array([1, None, 3, None], type=pa.int64())
+    h = hash_any_array(with_nulls)
+    h2 = hash_any_array(pa.array([1, 0, 3, 0], type=pa.int64()))
+    assert (h == h2).all()
+    assert h.dtype == np.uint64

@@ -138,3 +138,48 @@ def test_cron_dom_dow_or_semantics():
     t = s.next_run(dt.datetime(2024, 3, 8))  # Friday Mar 8
     assert t == dt.datetime(2024, 3, 11)     # Monday before the 15th
     assert s.next_run(t) == dt.datetime(2024, 3, 15)
+
+
+def test_infer_format_skips_markers_and_unknowns(tmp_path):
+    """A _SUCCESS marker or unknown-extension entry must not break (or
+    mis-drive) directory format inference (ADVICE r2)."""
+    from ee_outliers_ray.sources import _infer_format
+
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    (d / "_manifest.json").write_text("{}")
+    (d / "README.txt").write_text("notes")
+    (d / "part-0.parquet").write_text("")
+    assert _infer_format(str(d)) == "parquet"
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    (e / "_SUCCESS").write_text("")
+    import pytest
+
+    with pytest.raises(ValueError):
+        _infer_format(str(e))
+
+
+def test_normalize_timestamps_iso_variants():
+    """ISO-8601 'T' separator, timezone offsets and fractional seconds
+    parse through the fallback chain (ADVICE r2)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.sources import normalize_timestamps
+
+    for vals, expect in [
+        (["2024-01-03 10:00:00"], np.datetime64("2024-01-03T10:00:00")),
+        (["2024-01-03T10:00:00"], np.datetime64("2024-01-03T10:00:00")),
+        (["2024-01-03T10:00:00+0100"], np.datetime64("2024-01-03T09:00:00")),
+        (["2024-01-03T10:00:00.123456"],
+         np.datetime64("2024-01-03T10:00:00.123456")),
+        (["2024-01-03"], np.datetime64("2024-01-03T00:00:00")),
+    ]:
+        ds = ray.data.from_arrow(pa.table({"ts": pa.array(vals)}))
+        out = normalize_timestamps(ds, ["ts"]).to_pandas()
+        assert out["ts"].dtype == "datetime64[us]"
+        assert out["ts"].iloc[0] == expect, (vals, out["ts"].iloc[0])
