@@ -63,6 +63,54 @@ def _merge_entry(cur: dict | None, entry: dict) -> dict:
     return out
 
 
+def _merge_table(b: pa.Table, store: dict, id_col: str, tags_col: str,
+                 outliers_col: str) -> pa.Table:
+    """Merge ``store`` (id -> list of wrapped entry dicts) into one Arrow
+    batch: the shared kernel behind the broadcast (`apply_outliers`) and
+    sharded (`apply_outliers_sharded`) enrichment paths."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ids = b[id_col].to_numpy(zero_copy_only=False)
+    has_prior = outliers_col in b.column_names
+    # vectorized sparse fast path: only rows whose id carries a new
+    # entry (pc.is_in against the entry-id set) run the Python merge;
+    # untouched rows keep their existing enrichment (or nulls) with
+    # no per-row work — outliers are sparse relative to the corpus
+    key_set = pa.array(np.fromiter(store.keys(), dtype=np.int64,
+                                   count=len(store)))
+    hit_mask = pc.is_in(pc.cast(b[id_col], pa.int64()),
+                        value_set=key_set).to_numpy(zero_copy_only=False)
+    hit_idx = np.flatnonzero(hit_mask)
+
+    cur_outliers = (b[outliers_col].to_pylist()
+                    if has_prior else [None] * len(ids))
+    cur_tags = (b[tags_col].to_pylist()
+                if tags_col in b.column_names else [None] * len(ids))
+    new_outliers = list(cur_outliers)
+    new_tags = [list(t) if t else [] for t in cur_tags] \
+        if (tags_col in b.column_names or len(hit_idx)) \
+        else [[] for _ in range(len(ids))]
+    for i in hit_idx:
+        cur = cur_outliers[i]
+        for e in store[int(ids[i])]:
+            cur = _merge_entry(cur, e)
+        new_outliers[i] = cur
+        if cur is not None and "outlier" not in new_tags[i]:
+            new_tags[i].append("outlier")
+    # rows with PRIOR enrichment must keep their tag even off-path
+    if has_prior:
+        for i in np.flatnonzero(~hit_mask):
+            if cur_outliers[i] is not None and \
+                    "outlier" not in new_tags[i]:
+                new_tags[i].append("outlier")
+    cols = {n: b[n] for n in b.column_names
+            if n not in (tags_col, outliers_col)}
+    cols[tags_col] = pa.array(new_tags, type=pa.list_(pa.string()))
+    cols[outliers_col] = pa.array(new_outliers, type=OUTLIER_STRUCT)
+    return pa.table(cols)
+
+
 def apply_outliers(ds, outlier_entries: dict[int, list[dict]],
                    id_col: str = "doc_id", tags_col: str = "tags",
                    outliers_col: str = "outliers"):
@@ -72,6 +120,7 @@ def apply_outliers(ds, outlier_entries: dict[int, list[dict]],
     ``outlier_entries``: doc_id -> list of {type, reason, summary,
     model_name, model_type} (summaries pre-template-substituted; wrapped
     here).  Broadcast via ray.put (small side: outliers are sparse).
+    For corpus-scale outlier volumes use ``apply_outliers_sharded``.
     """
     import ray
 
@@ -82,48 +131,63 @@ def apply_outliers(ds, outlier_entries: dict[int, list[dict]],
     ref = ray.put(wrapped)
 
     def f(b: pa.Table) -> pa.Table:
+        return _merge_table(b, ray.get(ref), id_col, tags_col, outliers_col)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+ENTRY_ROW_FIELDS = ("type", "reason", "summary", "model_name",
+                    "model_type", "extra")
+
+
+def apply_outliers_sharded(ds, entries_ds, id_col: str = "doc_id",
+                           tags_col: str = "tags",
+                           outliers_col: str = "outliers",
+                           num_shards: int = 8):
+    """Distributed enrichment for corpus-scale outlier volumes (the
+    documented swap for the driver dict, VERDICT r2 item 5).
+
+    ``entries_ds``: a Dataset of entry ROWS — one per (doc, model hit) —
+    with columns (id_col, type, reason, summary, model_name, model_type,
+    extra).  The rows are pushed hash-sharded into the actor store in
+    APPEND mode (map tasks push straight to the owning shards; the
+    driver never sees them), then the corpus streams through one
+    ``map_batches`` that fetches each batch's ids and merges — no corpus
+    shuffle, no driver-side entry state.
+    """
+    from .lookup import ShardedStore
+
+    def make_kv(b: pa.Table):
         import numpy as np
-        import pyarrow.compute as pc
 
-        store = ray.get(ref)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        has_prior = outliers_col in b.column_names
-        # vectorized sparse fast path: only rows whose id carries a new
-        # entry (pc.is_in against the entry-id set) run the Python merge;
-        # untouched rows keep their existing enrichment (or nulls) with
-        # no per-row work — outliers are sparse relative to the corpus
-        key_set = pa.array(np.fromiter(store.keys(), dtype=np.int64,
-                                       count=len(store)))
-        hit_mask = pc.is_in(pc.cast(b[id_col], pa.int64()),
-                            value_set=key_set).to_numpy(zero_copy_only=False)
-        hit_idx = np.flatnonzero(hit_mask)
+        ids = pa.compute.cast(b[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {k: b[k].to_pylist() for k in ENTRY_ROW_FIELDS}
+        seq = (b["seq"].to_pylist() if "seq" in b.column_names
+               else [0] * len(ids))
+        vals = [{"type": cols["type"][i], "reason": cols["reason"][i],
+                 "summary": wrap_summary(cols["summary"][i]),
+                 "model_name": cols["model_name"][i],
+                 "model_type": cols["model_type"][i],
+                 "extra": cols["extra"][i], "seq": seq[i]}
+                for i in range(len(ids))]
+        return ids, vals
 
-        cur_outliers = (b[outliers_col].to_pylist()
-                        if has_prior else [None] * len(ids))
-        cur_tags = (b[tags_col].to_pylist()
-                    if tags_col in b.column_names else [None] * len(ids))
-        new_outliers = list(cur_outliers)
-        new_tags = [list(t) if t else [] for t in cur_tags] \
-            if (tags_col in b.column_names or len(hit_idx)) \
-            else [[] for _ in range(len(ids))]
-        for i in hit_idx:
-            cur = cur_outliers[i]
-            for e in store[int(ids[i])]:
-                cur = _merge_entry(cur, e)
-            new_outliers[i] = cur
-            if cur is not None and "outlier" not in new_tags[i]:
-                new_tags[i].append("outlier")
-        # rows with PRIOR enrichment must keep their tag even off-path
-        if has_prior:
-            for i in np.flatnonzero(~hit_mask):
-                if cur_outliers[i] is not None and \
-                        "outlier" not in new_tags[i]:
-                    new_tags[i].append("outlier")
-        cols = {n: b[n] for n in b.column_names
-                if n not in (tags_col, outliers_col)}
-        cols[tags_col] = pa.array(new_tags, type=pa.list_(pa.string()))
-        cols[outliers_col] = pa.array(new_outliers, type=OUTLIER_STRUCT)
-        return pa.table(cols)
+    store = ShardedStore(num_shards).build(entries_ds, make_kv,
+                                           append=True)
+
+    def f(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = pa.compute.cast(b[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        found = store.get_many(ids)
+        # parallel pushers append in arrival order — sort by (seq,
+        # summary) so the struct arrays are deterministic across runs
+        # (seq = the CLI's model iteration order)
+        local = {k: sorted(v, key=lambda e: (e["seq"], e["summary"]))
+                 for k, v in found.items() if v}
+        return _merge_table(b, local, id_col, tags_col, outliers_col)
 
     return ds.map_batches(f, batch_format="pyarrow")
 

@@ -26,6 +26,15 @@ class _LookupShard:
         self._d.update(zip(keys, values))
         return len(self._d)
 
+    def append_many(self, keys, values) -> int:
+        """List-append semantics: multiple pushes for one key accumulate
+        (enrichment entry rows).  Arrival order across parallel pushers
+        is nondeterministic — consumers must sort the lists."""
+        d = self._d
+        for k, v in zip(keys, values):
+            d.setdefault(k, []).append(v)
+        return len(d)
+
     def get_many(self, keys) -> list:
         d = self._d
         return [d.get(k) for k in keys]
@@ -66,7 +75,8 @@ class ShardedStore:
     def _shard_of(self, keys: np.ndarray) -> np.ndarray:
         return (keys.astype(np.int64) % self.num_shards).astype(np.int64)
 
-    def build(self, ds, make_kv, batch_format: str = "pyarrow") -> "ShardedStore":
+    def build(self, ds, make_kv, batch_format: str = "pyarrow",
+              append: bool = False) -> "ShardedStore":
         shards = self.shards
         n = self.num_shards
 
@@ -79,7 +89,9 @@ class ShardedStore:
                 m = sh == s
                 if m.any():
                     idx = np.flatnonzero(m)
-                    refs.append(shards[s].put_many.remote(
+                    method = (shards[s].append_many if append
+                              else shards[s].put_many)
+                    refs.append(method.remote(
                         keys[idx].tolist(), [values[i] for i in idx]))
             ray.get(refs)
             import pyarrow as pa

@@ -1,20 +1,69 @@
 """Notification sink (SURVEY S9/ST4, reference
-/root/reference/app/helpers/notifier.py:37-55): a single sink actor with
+/root/reference/app/helpers/notifier.py:37-74): a single sink actor with
 a bounded seen-summary deque (max_cache_ignore=1000,
 defaults/outliers.conf:93) deduplicating notifications.
 
-The SMTP transport is environment-dependent; the default transport here
-collects notifications in the actor (inspectable via ``drain``), and a
-callable transport can be injected for real delivery.  Consume any
-outlier Dataset with ``notify_outliers`` — rows stream to the one actor,
-preserving the reference's global-dedup semantics.
+Email assembly follows the reference: subject = "Eagle Eye - outlier
+alert: <summary>"; body = the key -> value outlier block + the raw
+event JSON (notifier.py:48-55, outlier.py:54-63); the message is a
+MIMEText with Subject/From/To headers (notifier.py:62-66).  Actual SMTP
+delivery is environment-dependent, so the wire call is the injectable
+``transport`` (``smtp_transport`` builds the real SMTP_SSL one from
+config); the default transport collects messages in the actor
+(inspectable via ``drain``).  Consume any outlier Dataset with
+``notify_outliers`` — rows stream to the one actor, preserving the
+reference's global-dedup semantics.
 """
 
 from __future__ import annotations
 
+import json
 from collections import deque
+from email.mime.text import MIMEText
 
 import ray
+
+
+def build_email(outlier: dict, *, from_addr: str = "",
+                to_addr: str = "") -> MIMEText:
+    """Assemble the notification email exactly as the reference does
+    (notifier.py:48-55 + outlier.py:54-63): outlier fields as a
+    ``key\\t -> value`` block, then the raw event JSON."""
+    summary = str(outlier.get("summary", ""))
+    doc = outlier.get("doc", {})
+    fields = {k: v for k, v in outlier.items() if k != "doc"}
+    block = "\n=======\noutlier\n=======\n"
+    for k, v in fields.items():
+        block += f"{k}\t -> {v}\n"
+    body = (block + "\n\n\n========RAW EVENT========\n\n\n\n"
+            + json.dumps(doc, sort_keys=True, indent=4, default=str))
+    msg = MIMEText(body)
+    msg["Subject"] = "Eagle Eye - outlier alert: " + summary
+    msg["From"] = from_addr
+    msg["To"] = to_addr
+    return msg
+
+
+def smtp_transport(*, smtp_server: str, smtp_port: int, smtp_user: str,
+                   smtp_pass: str, notification_email: str):
+    """Real SMTP_SSL delivery callable (reference notifier.py:62-71),
+    built lazily per send; errors are swallowed like the reference
+    (send failures must not kill the analysis run)."""
+
+    def send(outlier: dict) -> None:
+        import smtplib
+
+        try:
+            msg = build_email(outlier, from_addr=smtp_user,
+                              to_addr=notification_email)
+            con = smtplib.SMTP_SSL(smtp_server, smtp_port)
+            con.login(smtp_user, smtp_pass)
+            con.send_message(msg)
+            con.quit()
+        except Exception:  # noqa: BLE001 — reference logs and continues
+            pass
+
+    return send
 
 
 @ray.remote

@@ -153,3 +153,52 @@ def test_struct_field_column_and_flatten_ds():
     ds = ray.data.from_arrow(t)
     flat = flatten_struct_columns(ds).to_pandas()
     assert "meta.Host" in flat.columns and "meta.deep.x" in flat.columns
+
+
+def test_notifier_email_assembly_and_fake_transport():
+    """build_email mirrors the reference's subject/body layout
+    (notifier.py:48-55, outlier.py:54-63); a fake transport receives the
+    deduped notifications through the actor."""
+    import ray
+    import ray.data
+
+    from ee_outliers_ray.notifier import (NotifierActor, build_email,
+                                          notify_outliers)
+
+    o = {"summary": "rare user u1 in click", "type": "rare user",
+         "model_name": "m1", "doc": {"event_id": 7, "user_id": "u1"}}
+    msg = build_email(o, from_addr="eo@x", to_addr="soc@x")
+    assert msg["Subject"] == "Eagle Eye - outlier alert: rare user u1 in click"
+    assert msg["From"] == "eo@x" and msg["To"] == "soc@x"
+    body = msg.get_payload()
+    assert "outlier\n=======" in body
+    assert "summary\t -> rare user u1 in click" in body
+    assert "========RAW EVENT========" in body
+    assert '"event_id": 7' in body
+
+    sent = []
+
+    @ray.remote
+    class Collector:
+        def __init__(self):
+            self.got = []
+
+        def __call__(self, o):
+            self.got.append(o["summary"])
+
+        def add(self, o):
+            self.got.append(o["summary"])
+
+        def all(self):
+            return self.got
+
+    col = Collector.remote()
+    transport = lambda o: ray.get(col.add.remote(o))  # noqa: E731
+    n = NotifierActor.remote(max_cache_ignore=10, transport=transport)
+    ds = ray.data.from_items([
+        {"summary": "a", "event_id": 1},
+        {"summary": "a", "event_id": 2},   # deduped
+        {"summary": "b", "event_id": 3},
+    ])
+    assert notify_outliers(ds, n) == 2
+    assert sorted(ray.get(col.all.remote())) == ["a", "b"]

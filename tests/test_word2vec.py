@@ -204,3 +204,23 @@ def test_confusion_matrix_parity():
     # degenerate cases mirror the reference's None handling
     cm2 = confusion_matrix([], [0, 0])
     assert cm2["recall"] is None and cm2["precision"] is None
+
+
+def test_neural_path_golden_seeded():
+    """Pinned end-to-end scores for the numpy Adam+CE neural clone
+    (VERDICT r2 item 7): refactors must not silently shift the
+    distribution-parity model.  Regenerate the literals ONLY for a
+    deliberate, documented model change."""
+    data = ["open file read", "open file write", "read file close",
+            "zz qq xx", "open read close"] * 2
+    s = W2VSettings(use_prob_model=False, output_prob=True, size_window=2,
+                    num_epochs=2, learning_rate=0.05, embedding_size=8,
+                    seed=7, trigger_focus="text", trigger_score="mean",
+                    trigger_method="stdev", trigger_sensitivity=1,
+                    trigger_on="low")
+    m = GroupWord2Vec(s)
+    m.prepare(data)
+    got = [round(x["score"], 12) for x in m.find_outliers(data)]
+    golden = [0.272100379165, 0.16134081959, 0.223545346686,
+              0.194498674422, 0.220967788514] * 2
+    assert got == golden
