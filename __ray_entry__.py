@@ -105,10 +105,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": P.dedup_minhash,
         "dedup_ngram": P.dedup_ngram,
         "dedup_simhash": P.dedup_simhash,
+        "dedup_clusters": P.dedup_clusters,
         # --- similarity search ---
         "ann_cosine": P.ann_cosine,
+        "ann_cosine_multi": P.ann_cosine_multi,
         "ann_ivf": P.ann_ivf,
         "embedding_dups": P.embedding_dups,
+        "embedding_dups_exact": P.embedding_dups_exact,
         # --- text analysis ---
         "quality_scores": P.quality,
         "langid": P.langid_documents,
@@ -406,6 +409,38 @@ def oracle_sql() -> dict[str, str]:
                        '[a-zA-Z]+|\d{1,3}|[^\sa-zA-Z\d]')) AS bpe_tokens
             FROM documents""",
         "dedup_minhash": jaccard_sql,
+        # connected components over the (exhaustively verified) jaccard
+        # pair graph: min reachable id per node via a recursive CTE
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({jaccard_sql}),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m)
+            SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n""",
+        # exhaustive all-pairs cosine truth (the exact path computes
+        # exactly this by block-pair matmul)
+        "embedding_dups_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45""",
+        "ann_cosine_multi": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[],
+                                                q.qv) AS c
+                  FROM embeddings e, q)
+            SELECT qid AS query_id, vec_id, round(c, 6) AS cosine
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY qid
+                                       ORDER BY c DESC, vec_id) <= 10""",
         "langid": f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
             s AS (SELECT doc_id,

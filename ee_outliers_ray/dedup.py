@@ -600,6 +600,119 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
                             batch_format="pyarrow", batch_size=16384)
 
 
+def _components_numpy(ia: np.ndarray, ib: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """(node ids, min-id component label per node) by iterative label
+    propagation with pointer jumping — pure numpy, converges in
+    O(log diameter) rounds."""
+    ids = np.unique(np.concatenate([ia, ib]))
+    a = np.searchsorted(ids, ia)
+    b = np.searchsorted(ids, ib)
+    lbl = ids.copy()
+    while True:
+        prev = lbl.copy()
+        # pull the smaller label across every edge (both directions)
+        np.minimum.at(lbl, a, lbl[b])
+        np.minimum.at(lbl, b, lbl[a])
+        # pointer jumping: follow labels-as-node-ids one hop
+        lbl = lbl[np.searchsorted(ids, lbl)]
+        if np.array_equal(lbl, prev):
+            break
+    return ids, lbl
+
+
+def connected_components(pairs_ds, *, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_driver_pairs: int = 2_000_000,
+                         max_rounds: int = 64):
+    """Duplicate-cluster resolution: (doc_id, cluster_id) for every doc
+    in a near-dup PAIRS dataset, cluster_id = the component's min doc id
+    (the canonical "keep one per cluster" step after any near-dup
+    operator).
+
+    Pairs are dup-bounded, not corpus-bounded: below
+    ``max_driver_pairs`` the numpy label-propagation runs on the driver;
+    above it, a distributed min-label propagation loop runs — each round
+    one groupby(node).min over the edge-expanded label table, iterated
+    until a fixpoint (O(log diameter) rounds; every round is one
+    shuffle of the edge table)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "cluster_id": pa.array([], type=pa.int64())}))
+    if n_pairs <= max_driver_pairs:
+        df = pairs_ds.select_columns([id_a, id_b]).to_pandas()
+        ids, lbl = _components_numpy(df[id_a].to_numpy(np.int64),
+                                     df[id_b].to_numpy(np.int64))
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids), "cluster_id": pa.array(lbl)}))
+
+    # distributed path: labels(node, lbl) start as min(self, neighbors);
+    # each round ONE groupby co-locates a node's label row with every
+    # edge pointing AT it and spreads the label to the edge sources
+    # (join-free: label rows and edge rows share the group key), then a
+    # grouped Min folds the candidates.  The label SUM is monotone
+    # decreasing, so one tiny aggregate per round detects the fixpoint.
+    def _arr(x):
+        return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = _arr(pc.cast(b[id_a], pa.int64()))
+        c = _arr(pc.cast(b[id_b], pa.int64()))
+        return pa.table({"src": pa.concat_arrays([a, c]),
+                         "dst": pa.concat_arrays([c, a])})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow") \
+        .materialize()
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="lbl")) \
+        .map_batches(lambda b: pa.table({
+            "node": b["src"],
+            "lbl": pc.min_element_wise(b["src"], b["lbl"])}),
+            batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("lbl")
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g["lbl"].dropna()
+        if lab.empty:   # defensive: labels cover every node
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "lbl": pd.Series(dtype=np.int64)})
+        lbl = int(lab.min())
+        others = g["other"].dropna().to_numpy(dtype=np.int64)
+        nodes = np.concatenate([others,
+                                np.array([int(g["key"].iloc[0])],
+                                         dtype=np.int64)])
+        return pd.DataFrame({"node": nodes,
+                             "lbl": np.int64(lbl)})
+
+    for _ in range(max_rounds):
+        t_lab = labels.map_batches(lambda b: pa.table({
+            "key": b["node"],
+            "other": pa.nulls(b.num_rows, pa.int64()),
+            "lbl": b["lbl"]}), batch_format="pyarrow")
+        t_edge = edges.map_batches(lambda b: pa.table({
+            "key": b["dst"], "other": b["src"],
+            "lbl": pa.nulls(b.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        cand = t_lab.union(t_edge).groupby("key") \
+            .map_groups(spread, batch_format="pandas")
+        labels = cand.groupby("node") \
+            .aggregate(Min("lbl", alias_name="lbl")) \
+            .map_batches(lambda b: pa.table({"node": b["node"],
+                                             "lbl": b["lbl"]}),
+                         batch_format="pyarrow").materialize()
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(lambda b: pa.table(
+        {"doc_id": b["node"], "cluster_id": b["lbl"]}),
+        batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over token unigrams — vectorized: one poly-hash of
     every token in the batch, bitwise majority per doc via chunked

@@ -332,10 +332,10 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
 
     payload_offsets = np.zeros(len(r_bstarts) + 1, dtype=np.int32)
     payload_offsets[1:] = run_byte_end.astype(np.int32)
+    # py_buffer wraps the numpy arrays zero-copy (no .tobytes() copies)
     payload = pa.BinaryArray.from_buffers(
         pa.binary(), len(r_bstarts),
-        [None, pa.py_buffer(payload_offsets.tobytes()),
-         pa.py_buffer(buf.tobytes())])
+        [None, pa.py_buffer(payload_offsets), pa.py_buffer(buf)])
 
     rel_block_offset = boffs[:-1] - np.repeat(run_byte_start, r_bcounts)
     list_off = np.zeros(len(r_bstarts) + 1, dtype=np.int64)

@@ -577,6 +577,44 @@ def embedding_dups(sf_dir: str, threshold: float = 0.9):
     return embedding_near_dups(ds, threshold=threshold)
 
 
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup pairs -> connected components -> (doc_id, cluster_id):
+    the canonical keep-one-per-cluster resolution step (cluster_id = the
+    component's min doc id)."""
+    from .dedup import connected_components
+
+    return connected_components(dedup_minhash(sf_dir, threshold))
+
+
+def embedding_dups_exact(sf_dir: str, threshold: float = 0.45):
+    """EXACT all-pairs cosine join over the embeddings table (block-pair
+    matmul tasks) — the truth baseline the LSH embedding_dups path is
+    audited against, same exact/approx pairing as dedup_ngram vs
+    dedup_minhash."""
+    from .similarity import exact_cosine_pairs
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return exact_cosine_pairs(ds, threshold=threshold)
+
+
+def ann_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """Brute-force cosine top-k for a QUERY MATRIX (first n_queries
+    vectors) in one corpus pass — the batched-serving form of
+    ann_cosine."""
+    import pyarrow.parquet as pq
+
+    from .similarity import cosine_topk_multi
+
+    t = pq.read_table(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
+    order = np.argsort(t["vec_id"].to_numpy())
+    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    qids = t["vec_id"].to_numpy()[order]
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_topk_multi(ds, qm, qids, k=k)
+
+
 def quality(sf_dir: str):
     from .textstats import quality_scores
 

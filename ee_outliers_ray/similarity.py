@@ -272,3 +272,116 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
 def _first_dim(ds, vec_col: str) -> int:
     row = ds.take(1)[0]
     return len(row[vec_col])
+
+
+def cosine_topk_multi(ds, query_mat: np.ndarray, query_ids: np.ndarray,
+                      k: int = 10, vec_col: str = "embedding",
+                      id_col: str = "vec_id", round_to: int = 6):
+    """Exact brute-force cosine top-k for a MATRIX of queries in one
+    corpus pass: the normalized query matrix is broadcast once
+    (``ray.put``), each batch computes one (batch x queries) matmul and
+    prunes to per-query candidates, and the global per-query top-k comes
+    from the tiny candidate union on the driver.  Returns a DataFrame
+    (query_id, vec_id, cosine) with k rows per query."""
+    import ray
+
+    from .broadcast import cached_get
+
+    q = _norm(np.asarray(query_mat, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put(q)
+
+    def sim(b: pa.Table) -> pa.Table:
+        qm = cached_get(qref)
+        m = _norm(_batch_mat(b, vec_col))
+        s = m @ qm.T                                   # (ndoc, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, nq = s.shape
+        if n > 2 * k:
+            # per-query candidate prune: global top-k lives inside the
+            # union of per-batch top-2k (ties + duplicates slack)
+            keep = np.argpartition(-s, 2 * k - 1, axis=0)[:2 * k]
+        else:
+            keep = np.tile(np.arange(n)[:, None], (1, nq))
+        qi = np.repeat(np.arange(nq), keep.shape[0])
+        rows = keep.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(qids[qi]),
+            id_col: pa.array(ids[rows]),
+            "cosine": pa.array(s[rows, qi]),
+        })
+
+    cand = ds.map_batches(sim, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="stable")
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cosine"] = duck_round(out["cosine"], round_to)
+    return out
+
+
+def exact_cosine_pairs(ds, *, threshold: float = 0.45,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       target_block_rows: int = 4096, round_to: int = 6):
+    """EXACT all-pairs cosine similarity join — the truth baseline for
+    the LSH ``embedding_near_dups`` path (the analogue of
+    ``ngram_jaccard_dups`` vs minhash for text).
+
+    The work IS O(n^2); it is distributed as block-pair matmul TASKS
+    over the materialized normalized blocks (raw ``@ray.remote`` — the
+    Dataset API cannot express a self-cross-product).  Per-pair cost is
+    one (blk x blk) matmul; ~P^2/2 tasks for P blocks.  At corpus scale
+    use ``embedding_near_dups``; this operator is for exact small-N
+    joins and for auditing the LSH path's recall."""
+    import ray
+    import ray.data
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = _norm(_batch_mat(b, vec_col))
+        ids = pa.compute.cast(b[id_col], pa.int64())
+        return pa.table({id_col: ids,
+                         "_v": pa.FixedSizeListArray.from_arrays(
+                             pa.array(m.reshape(-1)), m.shape[1] if m.size
+                             else 1)})
+
+    blocks = ds.map_batches(prep, batch_format="pyarrow",
+                            batch_size=target_block_rows).materialize()
+    refs = blocks.to_arrow_refs()
+
+    thr = threshold
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        def mat(t):
+            c = t["_v"]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            flat = c.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(c), -1)
+
+        A, B = mat(ta), mat(tb)
+        ia = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = A @ B.T
+        hit = s >= thr
+        if same:
+            hit &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(hit)
+        a_ids, b_ids = ia[r], ib[c]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pa.table({
+            "id_a": pa.array(lo),
+            "id_b": pa.array(hi),
+            "cosine": pa.array(duck_round(s[r, c], round_to)),
+        })
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    if not out_refs:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+    return ray.data.from_arrow_refs(out_refs)

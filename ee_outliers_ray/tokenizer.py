@@ -41,12 +41,23 @@ _IS_TOK[48:58] = True
 
 
 def _classify_bytes(b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(lowered bytes, token-byte mask) via arithmetic range compares —
-    no table gathers (identical to _LOWER/_IS_TOK, property-tested)."""
-    is_up = (b >= 65) & (b <= 90)
-    lowered = b + (is_up.view(np.uint8) << np.uint8(5))
-    is_tok = ((b >= 97) & (b <= 122)) | ((b >= 48) & (b <= 57)) | is_up
-    return lowered, is_tok
+    """(case-folded bytes, token-byte mask) via arithmetic range
+    compares — no table gathers.
+
+    Case folding is ``b | 0x20``: bit 5 maps A-Z onto a-z and leaves
+    a-z AND 0-9 unchanged (digits already carry bit 5), so the folded
+    buffer equals the lowercased byte at every TOKEN position — the only
+    positions ever read (``values = folded[is_tok]``).  Non-token bytes
+    may differ from true lowercasing ('@' -> '`'); that is fine and
+    saves the separate is_upper mask + add of the previous kernel
+    (~3 fewer full-buffer passes; this stage is DRAM-bound).
+    The alpha test runs on the FOLDED byte ((t >= 97) & (t <= 122)
+    covers upper+lower in one range); the digit test must use the raw
+    byte (control bytes 0x10-0x19 fold into the digit range)."""
+    t = b | np.uint8(0x20)
+    is_tok = (t >= 97) & (t <= 122)
+    is_tok |= (b >= 48) & (b <= 57)
+    return t, is_tok
 
 
 def _tokenize_chunk_ascii(chunk: pa.Array,
@@ -73,7 +84,7 @@ def _tokenize_chunk_ascii(chunk: pa.Array,
         offsets = np.zeros(len(chunk) + 1, dtype=np.int64)
     else:
         b = np.frombuffer(data_buf, dtype=np.uint8)[offsets[0]:offsets[-1]]
-    if len(b) and b.max() >= 128:
+    if len(b) and (b > 127).any():
         return None
     base = offsets[0]
     rel_off = offsets - base
@@ -106,10 +117,12 @@ def _tokenize_chunk_ascii(chunk: pa.Array,
     tok_offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
     tok_offsets[1:] = np.cumsum(lengths)
     values = lowered[is_tok]
+    # py_buffer wraps the numpy arrays zero-copy (no .tobytes() copies);
+    # Arrow keeps the buffers alive
     flat = pa.StringArray.from_buffers(
         len(lengths),
-        pa.py_buffer(tok_offsets.tobytes()),
-        pa.py_buffer(values.tobytes()))
+        pa.py_buffer(tok_offsets),
+        pa.py_buffer(values))
     toks_per_doc = np.searchsorted(starts_idx, rel_off[1:]) - \
         np.searchsorted(starts_idx, rel_off[:-1])
     list_offsets = np.zeros(len(toks_per_doc) + 1, dtype=np.int64)
@@ -188,13 +201,17 @@ def tokenize_html_column(html, open_tag: str = "<p>",
     valid = (start >= 0) & close_ok
     abs_start = abs_start[valid]
     abs_end = close_pos[valid]
-    # region mask via +1/-1 boundary flags and a cumulative sum; int8
-    # accumulation (regions never nest, values stay in {0,1}) halves the
-    # pass's memory traffic vs the default int64 cumsum
+    # region mask via +1/-1 boundary flags and a cumulative sum.  After
+    # dropping empty regions, all boundary positions are DISTINCT
+    # (regions of different docs live in disjoint byte ranges and never
+    # nest), so plain fancy-index assignment replaces the much slower
+    # buffered np.add.at; and with flag values in {0,1} the int8 cumsum
+    # can be reinterpreted as the bool mask zero-copy (no `!= 0` pass).
+    nonempty = abs_end > abs_start
     flags = np.zeros(nbytes + 1, dtype=np.int8)
-    np.add.at(flags, abs_start, 1)
-    np.add.at(flags, abs_end, -1)
-    mask = np.cumsum(flags[:-1], dtype=np.int8) != 0
+    flags[abs_start[nonempty]] = 1
+    flags[abs_end[nonempty]] = -1
+    mask = np.cumsum(flags[:-1], dtype=np.int8)[: nbytes].view(np.bool_)
     return _tokenize_chunk_ascii(s, region_mask=mask)
 
 

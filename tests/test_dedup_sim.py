@@ -230,3 +230,66 @@ def test_ngram_jaccard_dups_exact_vs_exhaustive():
     assert np.allclose(got["jaccard"].to_numpy(),
                        [j for _, _, j in want], atol=1e-9)
     assert len(want) > 10  # the borderline family actually exercises it
+
+
+def test_connected_components_distributed_matches_numpy():
+    """The distributed min-label-propagation path (forced with
+    max_driver_pairs=0) must equal the driver numpy union-find."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ee_outliers_ray.dedup import _components_numpy, connected_components
+
+    rng = np.random.default_rng(3)
+    # a few chains + rings + singleton pairs over sparse ids
+    edges = []
+    base = 0
+    for clen in (2, 3, 5, 8, 13):
+        ids = rng.choice(10_000, size=clen, replace=False) + base
+        for i in range(clen - 1):
+            edges.append((int(ids[i]), int(ids[i + 1])))
+        edges.append((int(ids[-1]), int(ids[0])))  # close the ring
+        base += 20_000
+    df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+    pairs = ray.data.from_pandas(df)
+
+    ids, lbl = _components_numpy(df["id_a"].to_numpy(np.int64),
+                                 df["id_b"].to_numpy(np.int64))
+    exp = pd.DataFrame({"doc_id": ids, "cluster_id": lbl})
+    got = connected_components(pairs, max_driver_pairs=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  exp.astype(np.int64))
+
+
+def test_exact_cosine_pairs_multi_block():
+    """Block-pair matmul with several blocks == single-block truth."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.similarity import exact_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 8
+    base = rng.standard_normal((n, d))
+    base[50] = base[10] * 2.0          # exact duplicates across blocks
+    base[250] = base[10] + 0.01 * rng.standard_normal(d)
+    tbl = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(list(base))})
+    ds = ray.data.from_arrow(tbl)
+
+    got = exact_cosine_pairs(ds, threshold=0.9, target_block_rows=64) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    # numpy truth
+    m = base / np.linalg.norm(base, axis=1, keepdims=True)
+    s = m @ m.T
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if s[i, j] >= 0.9:
+                exp.append((i, j))
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == exp
+    assert (10, 50) in exp and (10, 250) in exp
