@@ -232,3 +232,62 @@ def test_sudden_appearance():
     # in-window 5.5, last step (6,8] -> not flagged there)
     ay = out[out["tgt"] == "y"]
     assert len(ay) == 1 and ay["doc_id"].iloc[0] == 2
+
+
+def test_sudden_appearance_vectorized_matches_groups():
+    """The sort+vector formulation must equal the per-group reference
+    kernel on real testdata and on a randomized corpus with ties and
+    boundary-spanning groups."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ee_outliers_ray.models.sudden_appearance import (
+        sudden_appearance_model,
+        sudden_appearance_model_groups,
+    )
+
+    def run(model, ds, **kw):
+        df = model(ds, "event_type", "user_id", ts_col="ts",
+                   tiebreak_col="event_id", **kw).to_pandas()
+        df = df[["aggregator", "target", "win_start", "win_end",
+                 "first_ts", "event_id"]]
+        for c in ("win_start", "win_end", "first_ts"):
+            df[c] = df[c].astype("datetime64[us]")
+        return df.sort_values(list(df.columns)).reset_index(drop=True) \
+            .astype({"target": str})
+
+    kw = dict(history_start=dt.datetime(2024, 1, 1),
+              history_end=dt.datetime(2024, 1, 29),
+              slide=dt.timedelta(days=7), step=dt.timedelta(days=1))
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "user_id",
+                                        "event_type", "ts"])
+    pd.testing.assert_frame_equal(run(sudden_appearance_model, ds, **kw),
+                                  run(sudden_appearance_model_groups, ds,
+                                      **kw))
+
+    # randomized corpus: duplicate timestamps, sparse pairs, events
+    # outside the history window, slide == step
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts0 = np.datetime64("2023-12-28") + \
+        rng.integers(0, 40 * 24 * 3600, n).astype("timedelta64[s]")
+    ts0[::17] = ts0[0]  # ties
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 400, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": ts0.astype("datetime64[us]"),
+    })
+    ds2 = ray.data.from_pandas(df)
+    for slide_d, step_d in [(7, 1), (3, 3), (5, 2)]:
+        kw2 = dict(history_start=dt.datetime(2024, 1, 1),
+                   history_end=dt.datetime(2024, 1, 29),
+                   slide=dt.timedelta(days=slide_d),
+                   step=dt.timedelta(days=step_d))
+        a = run(sudden_appearance_model, ds2, **kw2)
+        b = run(sudden_appearance_model_groups, ds2, **kw2)
+        pd.testing.assert_frame_equal(a, b), (slide_d, step_d)
