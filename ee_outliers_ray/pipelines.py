@@ -257,19 +257,77 @@ def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
 # relational pipelines (the reference's delegated ES query work, SURVEY §2.2)
 # --------------------------------------------------------------------------
 
-def pricing_summary(sf_dir: str):
-    """Grouped aggregate over lineitem (filter + groupby + sum/avg/count)."""
-    from ray.data.aggregate import Count, Mean, Sum
+def partial_groupby_agg(ds, keys: list[str], *, sums: dict | None = None,
+                        means: dict | None = None, mins: dict | None = None,
+                        count_alias: str | None = None) -> pd.DataFrame:
+    """LOW-CARDINALITY grouped aggregate without any Ray groupby: the
+    map side combines each block to (groups-in-block) partial rows,
+    and the reduce is one pandas groupby on the driver over the
+    (groups x blocks)-row partial table — avoiding the distributed
+    groupby's fixed sort-shuffle cost (~1-2 s per invocation at small
+    scale), which dominates these pipelines.
 
+    USE ONLY when the key cardinality is small (group count ~ constant:
+    flags, segments, event types).  High-cardinality keys (users,
+    terms, docs) must use the direct distributed groupby — their
+    partial table is corpus-scale.  Sums/counts/mins compose; means
+    decompose into sum+count.  Returns pandas."""
+    sums = dict(sums or {})
+    means = dict(means or {})
+    mins = dict(mins or {})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for alias, col in sums.items():
+            parts[alias] = g[col].sum()
+        for alias, col in means.items():
+            parts["_ms_" + alias] = g[col].sum()
+        for alias, col in mins.items():
+            parts[alias] = g[col].min()
+        parts["_cnt"] = g.size()
+        return pd.DataFrame(parts).reset_index()
+
+    # whole blocks: one pandas groupby per block, not per 1024-row batch
+    part = ds.map_batches(combine, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    if part.empty:
+        # schema-stable empty result (empty datasets drop schema)
+        cols = list(keys) + list(sums) + list(means) + list(mins)
+        if count_alias:
+            cols.append(count_alias)
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    g = part.groupby(keys, sort=True, dropna=False)
+    red = {}
+    for alias in sums:
+        red[alias] = g[alias].sum()
+    for alias in means:
+        red[alias] = g["_ms_" + alias].sum()
+    for alias in mins:
+        red[alias] = g[alias].min()
+    red["_cnt"] = g["_cnt"].sum()
+    red = pd.DataFrame(red).reset_index()
+    for alias in means:
+        red[alias] = red[alias] / red["_cnt"]
+    if count_alias:
+        red = red.rename(columns={"_cnt": count_alias})
+    else:
+        red = red.drop(columns=["_cnt"])
+    return red
+
+
+def pricing_summary(sf_dir: str):
+    """Grouped aggregate over lineitem (filter + groupby + sum/avg/count)
+    — partial-combined map-side, 6-group reduce."""
     ds = read(sf_dir, "lineitem",
               columns=["l_returnflag", "l_linestatus", "l_quantity",
                        "l_extendedprice", "l_discount"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
-    ).to_pandas()
+    out = partial_groupby_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        sums={"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
+        means={"avg_disc": "l_discount"}, count_alias="n")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_price",
+               "avg_disc", "n"]]
     out["sum_qty"] = duck_round(out["sum_qty"], ROUND_MONEY)
     out["sum_price"] = duck_round(out["sum_price"], ROUND_MONEY)
     out["avg_disc"] = duck_round(out["avg_disc"], ROUND_SCORE)
@@ -302,10 +360,10 @@ def segment_revenue(sf_dir: str):
 
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(join_seg, batch_format="pyarrow")
-    out = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"),
-    ).to_pandas()
+    out = partial_groupby_agg(joined, ["c_mktsegment"],
+                              sums={"revenue": "o_totalprice"},
+                              count_alias="n_orders")
+    out = out[["c_mktsegment", "revenue", "n_orders"]]
     out["revenue"] = duck_round(out["revenue"], ROUND_MONEY)
     return out
 
@@ -326,8 +384,8 @@ def time_window_counts(sf_dir: str,
                        pc.less_equal(ts, pa.scalar(hi64)))
         return b.filter(mask)
 
-    return ds.map_batches(f, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Count(alias_name="n"))
+    return partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                               ["event_type"], count_alias="n")
 
 
 def exists_counts(sf_dir: str):
@@ -339,10 +397,10 @@ def exists_counts(sf_dir: str):
 
     def f(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(b["value"]), pc.is_valid(b["props"]))
-        return b.filter(m)
+        return b.filter(m).select(["event_type"])
 
-    return ds.map_batches(f, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Count(alias_name="n"))
+    return partial_groupby_agg(ds.map_batches(f, batch_format="pyarrow"),
+                               ["event_type"], count_alias="n")
 
 
 def multi_key_counts(sf_dir: str):
@@ -351,8 +409,12 @@ def multi_key_counts(sf_dir: str):
 
     from .models.terms import add_key_column
 
+    from ray.data.aggregate import Count
+
     ds = read(sf_dir, "events", columns=["user_id", "event_type"])
     ds = add_key_column(ds, ["user_id", "event_type"], "agg_key")
+    # high-cardinality key -> direct distributed groupby (the partial
+    # table would be corpus-scale; see partial_groupby_agg docstring)
     return ds.groupby("agg_key").aggregate(Count(alias_name="n"))
 
 
@@ -360,7 +422,10 @@ def first_occurrence(sf_dir: str):
     """Per (user_id, event_type): earliest ts + doc count (S4/A8)."""
     from ray.data.aggregate import Count, Min
 
+    from ray.data.aggregate import Count, Min
+
     ds = read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    # high-cardinality key -> direct distributed groupby
     return ds.groupby(["user_id", "event_type"]).aggregate(
         Min("ts", alias_name="first_ts"),
         Count(alias_name="n"),
