@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": P.dedup_ngram,
         "dedup_simhash": P.dedup_simhash,
         "dedup_clusters": P.dedup_clusters,
+        "dedup_keep_list": P.dedup_keep_list,
         # --- similarity search ---
         "ann_cosine": P.ann_cosine,
         "ann_cosine_multi": P.ann_cosine_multi,
@@ -421,6 +422,20 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m)
             SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n""",
+        "dedup_keep_list": f"""
+            WITH RECURSIVE pairs AS ({jaccard_sql}),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
+            cl AS (SELECT n AS did, min(m) AS cluster_id
+                   FROM reach GROUP BY n)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+              (SELECT did FROM cl WHERE did <> cluster_id)""",
         # exhaustive all-pairs cosine truth (the exact path computes
         # exactly this by block-pair matmul)
         "embedding_dups_exact": """

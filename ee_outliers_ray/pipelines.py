@@ -651,6 +651,26 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
     return connected_components(dedup_minhash(sf_dir, threshold))
 
 
+def dedup_keep_list(sf_dir: str, threshold: float = 0.5):
+    """Apply the dedup: doc_ids surviving near-dup cluster resolution
+    (drop every cluster member except the min-id representative).  The
+    drop set is dup-bounded, so it broadcasts into a vectorized
+    anti-join over the streaming corpus."""
+    from .joins import anti_join
+
+    clusters = dedup_clusters(sf_dir, threshold)
+
+    def non_reps(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["doc_id"], b["cluster_id"]))
+
+    drop = clusters.map_batches(non_reps, batch_format="pyarrow") \
+        .select_columns(["doc_id"]).to_pandas()
+    docs = read(sf_dir, "documents", columns=["doc_id"])
+    if drop.empty:
+        return docs
+    return anti_join(docs, set(drop["doc_id"].astype(np.int64)), "doc_id")
+
+
 def embedding_dups_exact(sf_dir: str, threshold: float = 0.45):
     """EXACT all-pairs cosine join over the embeddings table (block-pair
     matmul tasks) — the truth baseline the LSH embedding_dups path is

@@ -293,3 +293,19 @@ def test_exact_cosine_pairs_multi_block():
                 exp.append((i, j))
     assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == exp
     assert (10, 50) in exp and (10, 250) in exp
+
+
+def test_dedup_keep_list_consistent_with_clusters():
+    """keep list == all docs minus non-representative cluster members."""
+    import numpy as np
+
+    from ee_outliers_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    clusters = P.dedup_clusters(sf).to_pandas()
+    keep = P.dedup_keep_list(sf).to_pandas()["doc_id"].to_numpy()
+    drop = clusters[clusters["doc_id"] != clusters["cluster_id"]]["doc_id"]
+    n_docs = P.count_documents(sf) if hasattr(P, "count_documents") else \
+        P.read(sf, "documents", columns=["doc_id"]).count()
+    assert len(keep) == n_docs - len(drop)
+    assert not np.isin(keep, drop.to_numpy()).any()
