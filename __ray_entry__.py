@@ -113,11 +113,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": P.ann_ivf,
         "embedding_dups": P.embedding_dups,
         "embedding_dups_exact": P.embedding_dups_exact,
+        # --- deterministic sampling / splits ---
+        "hash_split": P.hash_split,
+        "hash_sample": P.hash_sample,
         # --- text analysis ---
         "quality_scores": P.quality,
         "langid": P.langid_documents,
         "bpe_token_counts": P.bpe_counts,
         "fingerprints": P.fingerprints,
+        "packed_sequences": P.packed_sequences,
         # --- multimodal plumbing (stubbed decode) ---
         "media_features": P.media_features,
     }
@@ -529,6 +533,31 @@ def oracle_sql() -> dict[str, str]:
         # oracles for the deterministic hash pipelines; bit-exactness of
         # SQL vs numpy is pinned by tests/test_oracle_hash_sql.py
         "fingerprints": _ohs.fingerprint_sql(),
+        # deterministic mix64 splits/samples share the SQL hash kernels
+        "hash_split": _ohs.hash_split_sql(),
+        "hash_sample": _ohs.hash_sample_sql(),
+        # first-fit-sequential packing: the running (pack, budget) state
+        # threads through a recursive CTE joined one row at a time per
+        # doc_id-range group
+        "packed_sequences": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id // 100 AS grp,
+                     len({TOK}) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id // 100
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            p AS (
+              SELECT grp, rn, doc_id, n_tokens,
+                     0::BIGINT AS pack_id, n_tokens AS acc
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN p.acc + t.n_tokens > 256
+                          THEN p.pack_id + 1 ELSE p.pack_id END,
+                     CASE WHEN p.acc + t.n_tokens > 256
+                          THEN t.n_tokens ELSE p.acc + t.n_tokens END
+              FROM p JOIN t ON t.grp = p.grp AND t.rn = p.rn + 1)
+            SELECT doc_id, grp, pack_id, n_tokens FROM p""",
         # exhaustive pairwise hamming over SQL-computed simhashes; the
         # Ray pipeline's 4-band pigeonhole candidates are complete for
         # hamming <= 3, so the outputs must match exactly

@@ -96,6 +96,40 @@ th AS (
   FROM (SELECT doc_id, pos, {_ux('s', 'tl::UHUGEINT')} AS sx FROM sums))"""
 
 
+def mix64_of_id_cte(table: str = "documents",
+                    id_col: str = "doc_id") -> str:
+    """CTE ``h(doc_id, mx)``: mx = hashing.mix64 of the id column (ids
+    are non-negative, so the uint64 bit pattern equals the value)."""
+    return f"""
+h AS (
+  SELECT {id_col}, {_mix64_steps('sx')}
+  FROM (SELECT {id_col}, {id_col}::UHUGEINT AS sx FROM {table}))"""
+
+
+def hash_split_sql(val_pct: int = 10, test_pct: int = 10,
+                   table: str = "documents") -> str:
+    """pipelines.hash_split in SQL."""
+    hi = 2**64 - 1
+    val_cut = hi * val_pct // 100
+    test_cut = hi * (val_pct + test_pct) // 100
+    return f"""
+WITH {mix64_of_id_cte(table)}
+SELECT doc_id,
+       CASE WHEN mx < {val_cut}::UHUGEINT THEN 'val'
+            WHEN mx < {test_cut}::UHUGEINT THEN 'test'
+            ELSE 'train' END AS split
+FROM h"""
+
+
+def hash_sample_sql(pct: int = 20, table: str = "documents") -> str:
+    """pipelines.hash_sample in SQL (keeps every source column)."""
+    cut = (2**64 - 1) * pct // 100
+    return f"""
+WITH {mix64_of_id_cte(table)}
+SELECT t.* FROM {table} t JOIN h USING (doc_id)
+WHERE h.mx < {cut}::UHUGEINT"""
+
+
 def fingerprint_sql(table: str = "documents") -> str:
     """textstats.fingerprint in SQL: per-token poly hash, then the
     position-weighted combine (hashing.combine_sequences) — one BIGINT

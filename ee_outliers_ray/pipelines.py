@@ -700,6 +700,56 @@ def ann_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 5):
     return cosine_topk_multi(ds, qm, qids, k=k)
 
 
+def hash_split(sf_dir: str, val_pct: int = 10, test_pct: int = 10):
+    """Deterministic train/val/test assignment: mix64(doc_id) partitions
+    the 64-bit key space — stable across runs, machines and Ray
+    parallelism (no RNG state), the standard reproducible-split pattern
+    for training corpora."""
+    from .hashing import mix64
+
+    ds = read(sf_dir, "documents", columns=["doc_id"])
+    hi = np.uint64(2**64 - 1)
+    val_cut = np.uint64(int(hi) * val_pct // 100)
+    test_cut = np.uint64(int(hi) * (val_pct + test_pct) // 100)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids.view(np.uint64))
+        split = np.where(h < val_cut, "val",
+                         np.where(h < test_cut, "test", "train"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "split": pa.array(split, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def hash_sample(sf_dir: str, pct: int = 20):
+    """Deterministic corpus sample: keep FULL ROWS whose mix64(doc_id)
+    falls in the lowest pct of the key space (batching/parallelism-
+    independent — the distributed alternative to seeded random_sample)."""
+    from .hashing import mix64
+
+    ds = read(sf_dir, "documents")
+    cut = np.uint64(int(np.uint64(2**64 - 1)) * pct // 100)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = mix64(ids.view(np.uint64)) < cut
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def packed_sequences(sf_dir: str, max_tokens: int = 256,
+                     range_size: int = 100):
+    """Sequence packing over documents (first-fit-sequential per
+    deterministic doc_id-range group)."""
+    from .textstats import pack_sequences
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, max_tokens=max_tokens, range_size=range_size)
+
+
 def quality(sf_dir: str):
     from .textstats import quality_scores
 

@@ -142,6 +142,49 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Sequence packing for LLM training: assign docs to fixed-token-
+    budget packs, first-fit-SEQUENTIAL in doc_id order (a doc larger
+    than the budget gets its own pack).
+
+    Partitioning: the pack group is ``doc_id // range_size`` — a
+    DETERMINISTIC key independent of Ray's batching, so pack ids are
+    stable across runs/parallelism.  Token counting is vectorized per
+    batch; the sequential first-fit scan runs per group (the sequential
+    dependency IS the op's semantics; each group is range_size-bounded,
+    and per-group Python cost amortizes over range_size docs).
+    Output: (doc_id, grp, pack_id, n_tokens); pack_id restarts per
+    group — (grp, pack_id) is the global pack key."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids),
+            "grp": pa.array(ids // range_size),
+            "n_tokens": pa.array(off[1:] - off[:-1]),
+        })
+
+    import pandas as pd
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        acc, pid, out = 0, 0, []
+        for n in g["n_tokens"].to_numpy():
+            if out and acc + n > max_tokens:
+                pid += 1
+                acc = 0
+            acc += int(n)
+            out.append(pid)
+        g["pack_id"] = np.asarray(out, dtype=np.int64)
+        return g
+
+    return ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("grp").map_groups(pack, batch_format="pandas")
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Deterministic order-sensitive 64-bit rolling fingerprint over the
     token stream: every token poly-hashed once (vectorized), then a

@@ -158,3 +158,52 @@ def test_is_outlier():
     assert is_outlier(3, 4, "low") and not is_outlier(5, 4, "low")
     v = is_outlier(np.array([1.0, 5.0]), 4, "high")
     assert list(v) == [False, True]
+
+
+def test_pack_sequences_semantics():
+    """First-fit-sequential packing: budget respected (except oversized
+    docs, which get their own pack), deterministic per doc_id-range
+    group regardless of input block layout."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.textstats import pack_sequences
+
+    texts = ["a " * n for n in [50, 60, 70, 200, 10, 10, 10, 300, 5]]
+    tbl = pa.table({"doc_id": pa.array(range(9), type=pa.int64()),
+                    "text": pa.array([t.strip() for t in texts])})
+    out1 = pack_sequences(ray.data.from_arrow(tbl), max_tokens=128,
+                          range_size=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # different block layout -> identical packs
+    parts = [tbl.slice(0, 3), tbl.slice(3, 2), tbl.slice(5)]
+    ds2 = ray.data.from_arrow_refs([__import__("ray").put(p) for p in parts])
+    out2 = pack_sequences(ds2, max_tokens=128, range_size=100).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)
+
+    per_pack = out1.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                           n=("n_tokens", "count"))
+    for pid, row in per_pack.iterrows():
+        if row["total"] > 128:
+            assert row["n"] == 1  # only an oversized doc may exceed
+    # expected layout: [50,60] [70] [200] [10,10,10] ... sequential
+    assert out1["pack_id"].tolist()[:4] == [0, 0, 1, 2]
+
+
+def test_hash_split_fractions_and_determinism():
+    import numpy as np
+
+    from ee_outliers_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.01"
+    a = P.hash_split(sf).to_pandas().sort_values("doc_id")
+    b = P.hash_split(sf).to_pandas().sort_values("doc_id")
+    assert (a["split"].to_numpy() == b["split"].to_numpy()).all()
+    frac = (a["split"] == "train").mean()
+    assert 0.7 < frac < 0.9  # 80% nominal
+    s = P.hash_sample(sf, pct=20).to_pandas()
+    assert 0.1 < len(s) / len(a) < 0.3
+    assert set(s.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
