@@ -1,13 +1,18 @@
 """Multimodal (image/audio/video) column stages.
 
 Binary payloads are opaque ``binary`` columns with typed metadata; decode
-and feature-extract are stateful actor-pool ``map_batches`` stages.  The
-decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernel is STUBBED: with ``fake=True`` it produces a deterministic
-feature vector from the payload bytes (so the Ray-side plumbing — schema,
-batch sizing, actor signature, output layout — is real and tested); with
-``fake=False`` it raises ``NotImplementedError`` at the exact point where
-a real decoder would run.
+and feature-extract are stateful actor-pool ``map_batches`` stages.
+
+PNG images decode FOR REAL via the pure-stdlib codec (`png.py` — zlib
+scanlines + all five spec filters), so the image path is an actual
+pixel pipeline: decode -> per-channel stats features, decode -> resize
+-> re-encode.  Other formats (jpeg/audio/video) need PIL/ffmpeg, which
+are NOT in this container, so their kernels stay STUBBED: with
+``fake=True`` they produce a deterministic feature vector from the
+payload bytes (the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is real and tested); with ``fake=False``
+they raise ``NotImplementedError`` at the exact point where a real
+decoder would run.
 
 Memory note (SURVEY §"Memory-aware"): payload batches must stay small —
 callers should pass ``batch_size`` such that batch_size x avg_payload x
@@ -45,11 +50,30 @@ class MediaDecode:
         self.fake = fake
         # real implementation would do: self.model = load_decoder(...)
 
+    def _png_features(self, img: np.ndarray) -> np.ndarray:
+        """Real pixel features: dims, global mean/std, per-channel
+        means, coarse luminance histogram — deterministic and cheap."""
+        f = np.zeros(self.feature_dim, dtype=np.float32)
+        h, w, c = img.shape
+        px = img.astype(np.float32)
+        vals = [h, w, c, px.mean() / 255.0, px.std() / 255.0]
+        vals += [px[:, :, i].mean() / 255.0 for i in range(min(c, 3))]
+        hist, _ = np.histogram(img[:, :, 0], bins=8, range=(0, 256))
+        vals += list(hist / max(1, h * w))
+        f[:min(len(vals), self.feature_dim)] = vals[:self.feature_dim]
+        return f
+
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        from .png import _SIG, decode_png
+
+        if payload[:8] == _SIG:
+            # REAL path: pure-stdlib PNG decode (png.py)
+            return self._png_features(decode_png(payload))
         if not self.fake:
             raise NotImplementedError(
-                "media decode requires PIL/ffmpeg, not available in this "
-                "environment; run with fake=True for the deterministic stub")
+                "non-PNG media decode requires PIL/ffmpeg, not available "
+                "in this environment; run with fake=True for the "
+                "deterministic stub")
         # deterministic fake: bytes -> blake2b digest -> float features
         digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
@@ -92,9 +116,16 @@ class MediaResize:
         self.fake = fake
 
     def _resize_one(self, payload: bytes) -> bytes:
+        from .png import _SIG, decode_png, encode_png, resize_nearest
+
+        if payload[:8] == _SIG:
+            # REAL path: decode -> nearest-neighbor resize -> re-encode
+            img = decode_png(payload)
+            return encode_png(resize_nearest(img, self.target_w,
+                                             self.target_h))
         if not self.fake:
             raise NotImplementedError(
-                "image resize requires PIL, not available here; "
+                "non-PNG image resize requires PIL, not available here; "
                 "run with fake=True for the deterministic stub")
         # deterministic fake: size-proportional byte resample
         n_out = max(1, self.target_w * self.target_h // 1024)
@@ -190,18 +221,40 @@ def sample_frames(ds, *, num_frames: int = 4, fake: bool = True,
                           concurrency=concurrency)
 
 
-def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic synthetic media table matching MEDIA_SCHEMA."""
+def synth_media_table(n: int = 64, seed: int = 5,
+                      real_png: bool = False) -> pa.Table:
+    """Deterministic synthetic media table matching MEDIA_SCHEMA.
+
+    ``real_png=True``: image rows carry actual (decodable) PNG payloads
+    with matching width/height metadata — drives the real decode path;
+    audio/video rows stay opaque bytes."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])
+    kind_col = kinds[rng.integers(0, 3, size=n)]
+    payloads, mimes, widths, heights = [], [], [], []
+    for i in range(n):
+        w = int(rng.integers(16, 64))
+        h = int(rng.integers(16, 64))
+        if real_png and kind_col[i] == "image":
+            from .png import encode_png
+
+            img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(encode_png(img, filter_mode="cycle"))
+            mimes.append("image/png")
+        else:
+            size = int(rng.integers(64, 2048))
+            payloads.append(rng.integers(0, 256, size=size)
+                            .astype(np.uint8).tobytes())
+            mimes.append("application/octet-stream")
+        widths.append(w)
+        heights.append(h)
     rows = {
         "media_id": np.arange(n, dtype=np.int64),
-        "kind": kinds[rng.integers(0, 3, size=n)],
-        "payload": [rng.integers(0, 256, size=int(s)).astype(np.uint8).tobytes()
-                    for s in rng.integers(64, 2048, size=n)],
-        "mime": ["application/octet-stream"] * n,
-        "width": rng.integers(16, 4096, size=n).astype(np.int32),
-        "height": rng.integers(16, 4096, size=n).astype(np.int32),
+        "kind": kind_col,
+        "payload": payloads,
+        "mime": mimes,
+        "width": np.asarray(widths, dtype=np.int32),
+        "height": np.asarray(heights, dtype=np.int32),
         "duration_ms": rng.integers(0, 60000, size=n).astype(np.int32),
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -982,10 +982,14 @@ def whitelist_housekeeping(sf_dir: str):
 
 def media_features(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
-    table (payload columns are not part of the driver testdata)."""
+    table (payload columns are not part of the driver testdata).  Image
+    rows carry REAL PNG payloads and decode through the pure-stdlib
+    codec (png.py); audio/video rows use the declared deterministic
+    stub (PIL/ffmpeg absent)."""
     import ray.data
 
     from .multimodal import decode_features, synth_media_table
 
-    ds = ray.data.from_arrow(synth_media_table(n=64, seed=5))
+    ds = ray.data.from_arrow(synth_media_table(n=64, seed=5,
+                                               real_png=True))
     return decode_features(ds, fake=True)

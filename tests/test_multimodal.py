@@ -64,3 +64,56 @@ def test_frame_sampler_fan_out():
         assert (np.diff(ts) >= 0).all()
     with pytest.raises(NotImplementedError):
         FrameSampler(fake=False)._sample_one(b"zz", 100)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: encode/decode roundtrip across every spec
+    filter type and channel count; Paeth pinned to the spec function."""
+    from ee_outliers_ray.png import _paeth, decode_png, encode_png, png_info
+
+    rng = np.random.default_rng(9)
+    for ch in (1, 3, 4):
+        for mode in ("none", "cycle"):
+            img = rng.integers(0, 256, size=(21, 13, ch)).astype(np.uint8)
+            data = encode_png(img, filter_mode=mode)
+            assert png_info(data) == (13, 21, ch)
+            assert np.array_equal(decode_png(data), img)
+    # spec: predictor picks the neighbor closest to p = a + b - c
+    assert _paeth(3, 9, 9) == 3
+    assert _paeth(9, 3, 9) == 3
+    assert _paeth(100, 101, 1) == 101
+
+
+def test_real_png_decode_and_resize_paths():
+    """Image rows with real PNG payloads take the REAL pixel path even
+    with fake=False; features reflect actual pixel statistics."""
+    from ee_outliers_ray.png import decode_png, encode_png
+
+    img = np.full((20, 10, 3), 128, dtype=np.uint8)
+    img[:, :, 0] = 255  # red-heavy
+    payload = encode_png(img)
+    feats = MediaDecode(fake=False)._decode_one(payload)
+    assert feats[0] == 20 and feats[1] == 10 and feats[2] == 3
+    assert abs(feats[5] - 1.0) < 1e-6          # R channel mean = 255
+    assert abs(feats[6] - 128 / 255) < 1e-6    # G channel mean
+
+    resized = MediaResize(target_w=5, target_h=4, fake=False) \
+        ._resize_one(payload)
+    back = decode_png(resized)
+    assert back.shape == (4, 5, 3)
+    assert (back[:, :, 0] == 255).all()
+
+
+def test_media_features_real_png_table():
+    ds = ray.data.from_arrow(synth_media_table(n=32, seed=5, real_png=True))
+    out = decode_features(ds, fake=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    src = synth_media_table(n=32, seed=5, real_png=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    img_rows = src["kind"] == "image"
+    assert img_rows.any()
+    # real path: features[0:2] are the actual decoded (h, w)
+    for i in np.flatnonzero(img_rows.to_numpy()):
+        f = out["features"].iloc[i]
+        assert f[0] == src["height"].iloc[i]
+        assert f[1] == src["width"].iloc[i]
