@@ -102,3 +102,26 @@ class ShardedQueryService:
         merged = [x for r in shard_results for x in r]
         merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
         return merged[:k]
+
+    def topk_many(self, queries: list[str], k: int = 10
+                  ) -> list[list[tuple[int, float]]]:
+        """Batched serving path: resolve ALL queries' global dfs in one
+        fan-out, fire every (query, shard) call asynchronously so the
+        shards stay saturated, gather + merge in submission order.
+        Identical results to per-query ``topk`` (same scoring inputs);
+        throughput instead of one driver round-trip per query."""
+        from ..tokenizer import tokenize
+
+        per_q_terms = [sorted(set(tokenize(q))) for q in queries]
+        all_terms = sorted({t for ts in per_q_terms for t in ts})
+        dfs_all = self._global_dfs(all_terms)
+        refs = []
+        for q, terms in zip(queries, per_q_terms):
+            dfs = {t: dfs_all[t] for t in terms}
+            refs.append([a.topk.remote(q, k, dfs) for a in self.actors])
+        out = []
+        for rs in refs:
+            merged = [x for r in ray.get(rs) for x in r]
+            merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+            out.append(merged[:k])
+        return out

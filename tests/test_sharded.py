@@ -45,3 +45,13 @@ def test_global_df_cache(setup):
     assert svc._df_cache["the"] > 0
     # cached second call returns same
     assert svc.topk("the data") == svc.topk("the data")
+
+
+def test_topk_many_equals_per_query(setup):
+    """The batched serving path returns exactly the per-query results."""
+    _, dirs = setup
+    svc = ShardedQueryService(dirs)
+    queries = QUERIES * 4
+    batch = svc.topk_many(queries, k=10)
+    for q, r in zip(queries, batch):
+        assert r == svc.topk(q, k=10)
