@@ -80,7 +80,11 @@ def _bucket_key_arr(tbl_or_df, key_cols: list[str], from_pandas: bool):
         pc.binary_join_element_wise(*cols, "\x1f")
 
 
-def crowded_buckets(buckets_ds, key_cols: list[str]):
+_CROWDED_DRIVER_ROWS_MAX = 2_000_000
+
+
+def crowded_buckets(buckets_ds, key_cols: list[str],
+                    max_driver_rows: int = _CROWDED_DRIVER_ROWS_MAX):
     """(filtered dataset of crowded-bucket rows, crowded sizes DataFrame).
 
     Bucket sizes come from a vectorized grouped aggregate; the crowded-key
@@ -88,11 +92,26 @@ def crowded_buckets(buckets_ds, key_cols: list[str]):
     corpus) is broadcast into a vectorized ``pc.is_in`` membership filter.
     The input is materialized once so the size aggregate and the
     downstream pair generation share one signature pass.
+
+    Small-input fast path: the materialize makes the exact row count
+    free, and when the bucket rows fit on the driver
+    (``max_driver_rows``) the size aggregate + membership filter run as
+    one vectorized pandas pass — skipping a groupby shuffle and a filter
+    map execution, which dominate wall time at small scale.  Above the
+    gate the distributed path runs unchanged.
     """
     import ray
+    import ray.data
     from ray.data.aggregate import Count
 
     buckets_ds = buckets_ds.materialize()
+    if buckets_ds.count() <= max_driver_rows:
+        df = buckets_ds.to_pandas()
+        sz = df.groupby(key_cols, sort=False)[key_cols[0]].transform("size")
+        filt_df = df[sz.to_numpy() >= 2].reset_index(drop=True)
+        crowded = (filt_df.groupby(key_cols, sort=False).size()
+                   .rename("n").reset_index())
+        return ray.data.from_pandas(filt_df), crowded
     sizes = buckets_ds.groupby(key_cols).aggregate(Count(alias_name="n"))
     crowded = sizes.filter(expr="n >= 2").to_pandas()
 
@@ -420,25 +439,82 @@ def candidate_id_filter(ds, cand_ids: np.ndarray, id_col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _pairs_from_bucket_rows(rows: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """Distinct (id_a, id_b) pairs from crowded (bucket, id) rows —
-    driver-side vectorized path (rows are candidate-scale, not corpus)."""
-    rows = rows.drop_duplicates().sort_values(["bucket", id_col])
+def _grouped_triu_pairs(ids: np.ndarray, group_off: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group unordered index pairs for packed groups — fully
+    vectorized by batching groups of EQUAL size (one ``triu_indices``
+    per distinct size, broadcast over every group of that size; the
+    Python loop is over distinct sizes only, never over groups)."""
+    counts = (group_off[1:] - group_off[:-1]).astype(np.int64)
+    starts = group_off[:-1].astype(np.int64)
     out_a, out_b = [], []
-    for _, g in rows.groupby("bucket", sort=False):
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
+    for m in np.unique(counts):
+        if m < 2:
             continue
-        ia, ib = np.triu_indices(len(ids), k=1)
-        out_a.append(ids[ia])
-        out_b.append(ids[ib])
+        base = starts[counts == m]
+        ia, ib = np.triu_indices(int(m), k=1)
+        out_a.append((base[:, None] + ia[None, :]).ravel())
+        out_b.append((base[:, None] + ib[None, :]).ravel())
     if not out_a:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return ids[np.concatenate(out_a)], ids[np.concatenate(out_b)]
+
+
+def _distinct_sorted_pairs_df(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Canonicalize (min, max), drop duplicates, sort — all numpy.  Ids
+    that fit in 32 bits pack into ONE uint64 key (a single np.unique,
+    ~100x the struct-view ``unique(axis=0)`` path kept as fallback)."""
+    ia = np.minimum(a, b)
+    ib = np.maximum(a, b)
+    if len(ia) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                              "id_b": pd.Series(dtype=np.int64)})
-    return pd.DataFrame({"id_a": np.concatenate(out_a),
-                         "id_b": np.concatenate(out_b)}) \
-        .drop_duplicates().sort_values(["id_a", "id_b"]) \
-        .reset_index(drop=True)
+    if ia.min() >= 0 and ib.max() < (1 << 32):
+        key = (ia.astype(np.uint64) << np.uint64(32)) | ib.astype(np.uint64)
+        uk = np.unique(key)
+        return pd.DataFrame({
+            "id_a": (uk >> np.uint64(32)).astype(np.int64),
+            "id_b": (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)})
+    uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+    return pd.DataFrame({"id_a": uniq[:, 0].astype(np.int64),
+                         "id_b": uniq[:, 1].astype(np.int64)})
+
+
+def _pairs_from_bucket_rows(rows: pd.DataFrame, id_col: str,
+                            bucket_cols: list[str] | None = None
+                            ) -> pd.DataFrame:
+    """Distinct (id_a, id_b) pairs from crowded (bucket, id) rows —
+    driver-side fully vectorized path (rows are candidate-scale, not
+    corpus): one lexsort groups the rows, equal-size batching generates
+    every within-bucket pair with no per-bucket Python."""
+    def _i64(a: np.ndarray) -> np.ndarray:
+        # bit-pattern view for 64-bit hash keys (no float promotion when
+        # stacked with int64 ids); smaller ints widen losslessly
+        return a.view(np.int64) if a.dtype == np.uint64 \
+            else a.astype(np.int64, copy=False)
+
+    bucket_cols = bucket_cols or ["bucket"]
+    ids = _i64(rows[id_col].to_numpy())
+    keys = [_i64(rows[c].to_numpy()) for c in bucket_cols]
+    order = np.lexsort([ids] + keys[::-1])
+    ids = ids[order]
+    keys = [k[order] for k in keys]
+    # distinct (bucket..., id) rows, then group offsets per bucket key
+    if len(ids) == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    stacked = np.stack(keys + [ids], axis=1)
+    new_row = np.ones(len(ids), dtype=bool)
+    np.any(stacked[1:] != stacked[:-1], axis=1, out=new_row[1:])
+    ids = ids[new_row]
+    kept = [k[new_row] for k in keys]
+    kb = np.stack(kept, axis=1)
+    new_grp = np.ones(len(ids), dtype=bool)
+    np.any(kb[1:] != kb[:-1], axis=1, out=new_grp[1:])
+    group_off = np.append(np.flatnonzero(new_grp), len(ids))
+    a, b = _grouped_triu_pairs(ids, group_off)
+    return _distinct_sorted_pairs_df(a, b)
 
 
 def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
@@ -522,38 +598,43 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
     candidate generation): prefix filtering + exact set verification.
 
     Prefix filter (similarity-join literature; e.g. Chaudhuri et al.
-    2006 / Bayardo et al. 2007 "All-Pairs"): order each doc's unique
-    shingle hashes ascending; any pair with J >= t must share a shingle
-    within each side's first floor((1-t)*m) + 1 shingles.  Emitting only
-    those prefix shingles as bucket keys keeps buckets rare-shingle-
-    sized (no "the data web" mega-buckets) while staying COMPLETE for
-    the threshold — so output == exhaustive pairwise Jaccard >= t,
-    which is exactly the DuckDB oracle.
+    2006 / Bayardo et al. 2007 "All-Pairs"): under a FIXED GLOBAL TOTAL
+    ORDER of the shingle universe, any pair with J >= t must share a
+    shingle within each side's first floor((1-t)*m) + 1 shingles, so
+    emitting only prefix shingles as bucket keys stays COMPLETE for the
+    threshold — output == exhaustive pairwise Jaccard >= t, which is
+    exactly the DuckDB oracle.  The order used is ASCENDING GLOBAL
+    DOCUMENT FREQUENCY (ties by hash): prefixes then hold each doc's
+    rarest shingles, so buckets stay rare-shingle-sized.  (A hash order
+    is equally complete but puts common trigrams in half the docs'
+    prefixes — near-quadratic candidate growth on homogeneous corpora.)
 
-    Same shuffle shape as the LSH paths: one groupby on bucket keys,
-    hybrid driver/distributed pair generation, sharded-store exact
-    verify."""
+    Driver path (shingle table fits): df ranking, prefix selection, pair
+    generation and exact verification run as vectorized numpy passes
+    over ONE collected (doc, shingle) table — no second corpus read.
+    Distributed path: df via one grouped count, joined back on the
+    shingle key (one-shuffle partitioned hash join), per-doc prefix
+    selection in grouped tasks, then the shared bucket-groupby pair
+    generation + sharded-store exact verify."""
     import ray.data
+    from ray.data.aggregate import Count
 
+    from .functions import duck_round
+    from .hashing import _grouped_arange
     from .lookup import ShardedStore
 
-    def prefix_shingles(b: pa.Table) -> pa.Table:
-        from .hashing import _grouped_arange
-
+    def shingle_rows(b: pa.Table) -> pa.Table:
         sh, off = batch_shingle_hashes(b[text_col], shingle_k)
-        usha, uoff = unique_per_segment(sh, off)  # sorted per doc
-        m = (uoff[1:] - uoff[:-1]).astype(np.int64)
-        pref = np.minimum(np.floor((1.0 - threshold) * m).astype(np.int64)
-                          + 1, m)
+        usha, uoff = unique_per_segment(sh, off)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = _grouped_arange(uoff[:-1], pref)
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, pref)),
-            "bucket": pa.array(usha[idx].view(np.int64)),
-        })
+        counts = (uoff[1:] - uoff[:-1]).astype(np.int64)
+        # int64 bit-view: this column crosses a Ray groupby in the
+        # distributed path (uint64 keys break Ray's key path)
+        return pa.table({id_col: pa.array(np.repeat(ids, counts)),
+                         "sh": pa.array(usha.view(np.int64))})
 
-    buckets = ds.map_batches(prefix_shingles, batch_format="pyarrow")
-    filt, crowded = crowded_buckets(buckets, ["bucket"])
+    rows_ds = ds.map_batches(shingle_rows, batch_format="pyarrow") \
+        .materialize()
 
     def _empty():
         return ray.data.from_arrow(pa.table({
@@ -561,6 +642,87 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
             "id_b": pa.array([], type=pa.int64()),
             "jaccard": pa.array([], type=pa.float64())}))
 
+    if rows_ds.count() <= max_driver_candidate_rows:
+        t = rows_ds.to_pandas()
+        doc = t[id_col].to_numpy(np.int64)
+        sh = t["sh"].to_numpy(np.int64)
+        if len(doc) == 0:
+            return _empty()
+        _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        dfreq = cnt[inv]
+        order = np.lexsort([sh, dfreq, doc])
+        doc, sh = doc[order], sh[order]
+        new = np.ones(len(doc), dtype=bool)
+        np.not_equal(doc[1:], doc[:-1], out=new[1:])
+        seg = np.append(np.flatnonzero(new), len(doc))
+        m = (seg[1:] - seg[:-1]).astype(np.int64)
+        pref = np.minimum(
+            np.floor((1.0 - threshold) * m).astype(np.int64) + 1, m)
+        bidx = _grouped_arange(seg[:-1], pref)
+        id_df = _pairs_from_bucket_rows(
+            pd.DataFrame({"bucket": sh[bidx], id_col: doc[bidx]}), id_col)
+        if id_df.empty:
+            return _empty()
+        ia = id_df["id_a"].to_numpy(np.int64)
+        ib = id_df["id_b"].to_numpy(np.int64)
+        # length filter (completeness-safe: J >= t forces
+        # min(m)/max(m) >= t) — kills most spurious prefix collisions
+        # between docs of very different sizes before any verification
+        seg_docs = doc[seg[:-1]]
+        ma = m[np.searchsorted(seg_docs, ia)]
+        mb = m[np.searchsorted(seg_docs, ib)]
+        keep_lf = np.minimum(ma, mb) >= threshold * np.maximum(ma, mb)
+        ia, ib = ia[keep_lf], ib[keep_lf]
+        if len(ia) == 0:
+            return _empty()
+        # exact verification straight from the collected shingle table:
+        # re-sort each doc's segment by value — the packed kernel needs
+        # per-doc sorted arrays, and int64 order is internally
+        # consistent here because both pair sides read the same arrays.
+        # The packed table is candidate-bounded (<= the driver gate), so
+        # it broadcasts once via ray.put and chunked verify tasks score
+        # pair batches in parallel.
+        vorder = np.lexsort([sh, doc])
+        vdoc, vsh = doc[vorder], sh[vorder]
+        uids, ucnt = np.unique(vdoc, return_counts=True)
+        off = np.zeros(len(uids) + 1, dtype=np.int64)
+        np.cumsum(ucnt, out=off[1:])
+        ref = ray.put((uids, vsh, off))
+        cand = ray.data.from_arrow(pa.table({
+            "id_a": pa.array(ia), "id_b": pa.array(ib)}))
+
+        def vfn(b: pa.Table) -> pa.Table:
+            u, f, o = ray.get(ref)
+            ba = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ja = _jaccard_packed(ba, bb, u, f, o,
+                                 np.ones(len(u), dtype=bool))
+            k = ja >= threshold
+            return pa.table({
+                "id_a": pa.array(ba[k]), "id_b": pa.array(bb[k]),
+                "jaccard": pa.array(duck_round(ja[k], 6))})
+
+        return cand.map_batches(vfn, batch_format="pyarrow",
+                                batch_size=65536)
+
+    # distributed path
+    from .joins import hash_join
+
+    dfreq_ds = rows_ds.groupby("sh").aggregate(Count(alias_name="df"))
+    joined = hash_join(rows_ds, dfreq_ds, key="sh", num_buckets=64)
+
+    def sel(g: pd.DataFrame) -> pd.DataFrame:
+        sh_g = g["sh"].to_numpy(np.int64)
+        df_g = g["df"].to_numpy(np.int64)
+        o = np.lexsort([sh_g, df_g])
+        p = min(int(np.floor((1.0 - threshold) * len(sh_g))) + 1, len(sh_g))
+        take = o[:p]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64)[take],
+            "bucket": sh_g[take]})
+
+    buckets = joined.groupby(id_col).map_groups(sel, batch_format="pandas")
+    filt, crowded = crowded_buckets(buckets, ["bucket"])
     if crowded.empty:
         return _empty()
     if int(crowded["n"].sum()) <= max_driver_candidate_rows:
