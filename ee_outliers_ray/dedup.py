@@ -975,17 +975,59 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
             "hamming": pa.array([], type=pa.int64())}))
     if int(crowded["n"].sum()) <= max_driver_candidate_rows:
         # driver-side pair generation (crowded rows are dup-cluster-
-        # bounded); saves the pairs + distinct groupby shuffles
+        # bounded); saves the pairs + distinct groupby shuffles.  Fully
+        # vectorized: lexsort-grouped rows, per-group truncation by rank,
+        # equal-size triu batching, one xor-popcount over all pairs.
         import ray.data
 
         rows = filt.to_pandas()
-        parts = [pairs(g) for _, g in
-                 rows.groupby(["band_id", "band_val"], sort=False)]
-        cand = (pd.concat(parts, ignore_index=True) if parts
-                else pairs(rows.iloc[0:0]))
-        cand = cand.sort_values(["id_a", "id_b"]) \
-            .drop_duplicates(["id_a", "id_b"]) \
-            [["id_a", "id_b", "hamming"]].reset_index(drop=True)
+        ids = rows[id_col].to_numpy(np.int64)
+        sh = rows["simhash"].to_numpy().astype(np.uint64)
+        bid = rows["band_id"].to_numpy(np.int64)
+        bval = rows["band_val"].to_numpy()
+        bval = bval.view(np.int64) if bval.dtype == np.uint64 \
+            else bval.astype(np.int64, copy=False)
+        order = np.lexsort([ids, bval, bid])
+        ids, sh, bid, bval = ids[order], sh[order], bid[order], bval[order]
+        new_row = np.ones(len(ids), dtype=bool)
+        new_row[1:] = ((bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])
+                       | (ids[1:] != ids[:-1]))
+        ids, sh, bid, bval = (ids[new_row], sh[new_row], bid[new_row],
+                              bval[new_row])
+        new_grp = np.ones(len(ids), dtype=bool)
+        new_grp[1:] = (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1])
+        gstart = np.flatnonzero(new_grp)
+        goff = np.append(gstart, len(ids))
+        sizes = goff[1:] - goff[:-1]
+        rank = (np.arange(len(ids), dtype=np.int64)
+                - np.repeat(gstart, sizes))
+        keep_tr = rank < max_bucket   # per-group head(max_bucket)
+        ids, sh = ids[keep_tr], sh[keep_tr]
+        toff = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(np.minimum(sizes, max_bucket), out=toff[1:])
+        pi, pj = _grouped_triu_pairs(np.arange(len(ids), dtype=np.int64),
+                                     toff)
+        x = sh[pi] ^ sh[pj]
+        ham = (np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+               .sum(axis=1).astype(np.int64)) if len(x) \
+            else np.zeros(0, dtype=np.int64)
+        keep = ham <= max_hamming
+        ia, ib, ham = ids[pi[keep]], ids[pj[keep]], ham[keep]
+        if len(ia) == 0:
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64())}))
+        if ia.min() >= 0 and ib.max() < (1 << 32):
+            key = ((ia.astype(np.uint64) << np.uint64(32))
+                   | ib.astype(np.uint64))
+            _, ui = np.unique(key, return_index=True)
+            ia, ib, ham = ia[ui], ib[ui], ham[ui]
+            cand = pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": ham})
+        else:
+            cand = pd.DataFrame({"id_a": ia, "id_b": ib, "hamming": ham}) \
+                .sort_values(["id_a", "id_b"]) \
+                .drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
         return ray.data.from_pandas(cand)
     cand = filt.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")

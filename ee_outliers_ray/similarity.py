@@ -218,13 +218,13 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     if int(crowded["n"].sum()) <= 2_000_000:
-        # driver-side pair generation (dup-cluster-bounded rows)
-        rows = filt.to_pandas()
-        parts = [pairs(g) for _, g in
-                 rows.groupby(["band_id", "band_val"], sort=False)]
-        id_df = (pd.concat(parts, ignore_index=True)
-                 .drop_duplicates().sort_values(["id_a", "id_b"])
-                 .reset_index(drop=True)) if parts else pairs(rows.iloc[0:0])
+        # driver-side pair generation (dup-cluster-bounded rows) — fully
+        # vectorized lexsort + equal-size triu batching, no per-bucket
+        # Python (dedup._pairs_from_bucket_rows)
+        from .dedup import _pairs_from_bucket_rows
+
+        id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col,
+                                        bucket_cols=["band_id", "band_val"])
     else:
         id_df = distinct_pairs(
             filt.groupby(["band_id", "band_val"])
