@@ -116,7 +116,7 @@ def pipeline_timings() -> dict:
     names = ["bm25_topk", "term_df", "top_terms", "pricing_summary",
              "terms_within_median", "metrics_value_mad_outliers",
              "sudden_appearance", "dedup_exact", "dedup_minhash",
-             "ann_cosine", "quality_scores", "langid"]
+             "dedup_ngram", "ann_cosine", "quality_scores", "langid"]
     fns = {
         "bm25_topk": P.bm25_topk, "term_df": P.term_df,
         "top_terms": P.top_terms, "pricing_summary": P.pricing_summary,
@@ -124,6 +124,7 @@ def pipeline_timings() -> dict:
         "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
         "sudden_appearance": P.sudden_appearance_events,
         "dedup_exact": P.dedup_exact, "dedup_minhash": P.dedup_minhash,
+        "dedup_ngram": P.dedup_ngram,
         "ann_cosine": P.ann_cosine, "quality_scores": P.quality,
         "langid": P.langid_documents,
     }

@@ -311,6 +311,9 @@ def _driver_verify_jaccard(ds, id_df: pd.DataFrame, *, shingle_k: int,
 
 _DRIVER_VERIFY_MAX_PAIRS = 100_000
 _DRIVER_VERIFY_MAX_IDS = 200_000
+# incidence-join gate for the exact n-gram driver path: sum C(df,2)
+# co-occurrence pairs must fit one driver np.unique (256 MB of keys)
+_INCIDENCE_JOIN_MAX = 32_000_000
 
 
 def _pairs_of_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
@@ -609,9 +612,14 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
     is equally complete but puts common trigrams in half the docs'
     prefixes — near-quadratic candidate growth on homogeneous corpora.)
 
-    Driver path (shingle table fits): df ranking, prefix selection, pair
-    generation and exact verification run as vectorized numpy passes
-    over ONE collected (doc, shingle) table — no second corpus read.
+    Driver path (shingle table fits): when sum C(df,2) co-occurrence
+    pairs is bounded (no hot shingles), ONE incidence join — a single
+    np.unique over packed pair keys — yields exact intersection counts
+    for every overlapping pair, with no candidate generation or
+    verification step at all.  Otherwise df ranking, prefix selection,
+    pair generation and exact verification run as vectorized numpy
+    passes over the same collected (doc, shingle) table — either way,
+    no second corpus read.
     Distributed path: df via one grouped count, joined back on the
     shingle key (one-shuffle partitioned hash join), per-doc prefix
     selection in grouped tasks, then the shared bucket-groupby pair
@@ -649,6 +657,36 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         if len(doc) == 0:
             return _empty()
         _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        n_incidence = int((cnt * (cnt - 1) // 2).sum())
+        if (n_incidence <= _INCIDENCE_JOIN_MAX
+                and doc.min() >= 0 and doc.max() < (1 << 32)):
+            # exact INCIDENCE JOIN: each shingle shared by df docs
+            # contributes C(df,2) co-occurrence pairs; one np.unique
+            # over packed pair keys counts |A∩B| for every pair with a
+            # nonzero intersection — no candidate generation and no
+            # per-pair verification at all.  Feasible whenever
+            # sum C(df,2) is bounded (no hot shingles); above the gate
+            # the prefix-filter path below caps bucket fan-out instead.
+            order = np.lexsort([doc, sh])
+            d_s, s_s = doc[order], sh[order]
+            newg = np.ones(len(s_s), dtype=bool)
+            np.not_equal(s_s[1:], s_s[:-1], out=newg[1:])
+            goff = np.append(np.flatnonzero(newg), len(s_s))
+            ra, rb = _grouped_triu_pairs(d_s, goff)
+            key = ((np.minimum(ra, rb).astype(np.uint64) << np.uint64(32))
+                   | np.maximum(ra, rb).astype(np.uint64))
+            uk, inter = np.unique(key, return_counts=True)
+            ud, md = np.unique(doc, return_counts=True)
+            ia = (uk >> np.uint64(32)).astype(np.int64)
+            ib = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            ma = md[np.searchsorted(ud, ia)]
+            mb = md[np.searchsorted(ud, ib)]
+            ja = inter / (ma + mb - inter)
+            keep = ja >= threshold
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
+                "jaccard": pa.array(duck_round(ja[keep], 6))}))
         dfreq = cnt[inv]
         order = np.lexsort([sh, dfreq, doc])
         doc, sh = doc[order], sh[order]
