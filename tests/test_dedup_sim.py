@@ -203,19 +203,7 @@ def test_ann_ivf_recall_vs_brute_force():
     assert len(iv & bc) / 10 >= 0.8
 
 
-def test_ngram_jaccard_dups_exact_vs_exhaustive():
-    """Prefix-filter join output == exhaustive pairwise Jaccard (the
-    operator is exact by construction, incl. near-threshold pairs that
-    LSH could miss)."""
-    from ee_outliers_ray.dedup import ngram_jaccard_dups
-
-    base = "w{} x{} common tokens run alpha beta gamma delta epsilon"
-    docs = [base.format(i, i) for i in range(12)]  # borderline family
-    docs += DOCS
-    ds = ray.data.from_pandas(pd.DataFrame(
-        {"doc_id": range(len(docs)), "text": docs}))
-    got = ngram_jaccard_dups(ds, threshold=0.5).to_pandas() \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+def _ngram_exhaustive_want(docs, threshold=0.5):
     want = []
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
@@ -223,8 +211,33 @@ def test_ngram_jaccard_dups_exact_vs_exhaustive():
             if not si and not sj:
                 continue
             jac = ngram_jaccard(docs[i], docs[j], 3)
-            if jac >= 0.5:
+            if jac >= threshold:
                 want.append((i, j, round(jac, 6)))
+    return want
+
+
+@pytest.mark.parametrize("path", ["incidence", "prefix", "distributed"])
+def test_ngram_jaccard_dups_exact_vs_exhaustive(path, monkeypatch):
+    """All three exact join paths — driver incidence join (default at
+    small scale), driver df-ordered prefix filter + packed verify
+    (forced by zeroing the incidence gate), and the fully distributed
+    path (forced by zeroing the driver row gate) — must equal exhaustive
+    pairwise Jaccard, incl. near-threshold pairs that LSH could miss."""
+    from ee_outliers_ray import dedup as D
+
+    base = "w{} x{} common tokens run alpha beta gamma delta epsilon"
+    docs = [base.format(i, i) for i in range(12)]  # borderline family
+    docs += DOCS
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs}))
+    kw = {}
+    if path == "prefix":
+        monkeypatch.setattr(D, "_INCIDENCE_JOIN_MAX", 0)
+    elif path == "distributed":
+        kw["max_driver_candidate_rows"] = 0
+    got = D.ngram_jaccard_dups(ds, threshold=0.5, **kw).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want = _ngram_exhaustive_want(docs)
     assert list(map(tuple, got[["id_a", "id_b"]].itertuples(index=False))) \
         == [(a, b) for a, b, _ in want]
     assert np.allclose(got["jaccard"].to_numpy(),
