@@ -556,6 +556,7 @@ def build_index(pages_path: str, index_dir: str, *,
                 batch_size: int = 8192,
                 concurrency: int | tuple | None = None,
                 merge_scope: str = "bucket",
+                merge_parts: int = 1,
                 store_positions: bool = False,
                 overwrite: bool = False) -> dict:
     """Build the full index under ``index_dir``.  Returns the stats manifest.
@@ -563,6 +564,15 @@ def build_index(pages_path: str, index_dir: str, *,
     Resumable: if ``runs/`` has a manifest but ``segments/`` does not, the
     build restarts from the compressed runs without re-tokenizing
     (SURVEY §7.5.8); if ``segments/`` has a manifest the build is a no-op.
+
+    ``merge_parts > 1`` is the hierarchical-merge scale path: each
+    bucket's merge splits into that many tasks, each covering a
+    contiguous doc-range (``rng``) interval and writing its own
+    ``part-<i>.parquet`` — so per-task input stays bounded at 10^12-doc
+    scale instead of one task swallowing a whole bucket.  Part files are
+    doc-disjoint per term by construction; the reader already concats a
+    term's segment rows across files in first_doc order, so query
+    results are bit-identical to a single-part merge (pytest-verified).
     """
     import ray.data
 
@@ -624,45 +634,74 @@ def build_index(pages_path: str, index_dir: str, *,
 
     run_files = sorted(_glob.glob(os.path.join(runs_dir, "*.parquet")))
     rg_map: dict[int, list[tuple[int, int]]] = {b: [] for b in range(num_buckets)}
+    rg_rng: dict[tuple[int, int], tuple[int, int]] = {}
+    max_rng = 0
     for fi, f in enumerate(run_files):
         md = pq.read_metadata(f)
-        bucket_ci = md.schema.to_arrow_schema().get_field_index("bucket")
+        sch = md.schema.to_arrow_schema()
+        bucket_ci = sch.get_field_index("bucket")
+        rng_ci = sch.get_field_index("rng")
         for gi in range(md.num_row_groups):
             st = md.row_group(gi).column(bucket_ci).statistics
             for b in range(int(st.min), int(st.max) + 1):
                 rg_map[b].append((fi, gi))
+            rst = md.row_group(gi).column(rng_ci).statistics
+            rg_rng[(fi, gi)] = (int(rst.min), int(rst.max))
+            max_rng = max(max_rng, int(rst.max))
+
+    # doc-range intervals for the hierarchical merge: each (bucket, part)
+    # task covers a contiguous rng interval, so per-task input is
+    # ~1/merge_parts of the bucket and part outputs are doc-disjoint
+    n_parts = max(1, min(int(merge_parts), max_rng + 1))
+    bounds = np.linspace(0, max_rng + 1, n_parts + 1).astype(np.int64)
+    part_ranges = [(int(bounds[i]), int(bounds[i + 1]) - 1)
+                   for i in range(n_parts)]
 
     _MANIFEST_SCHEMA = pa.schema([
-        ("bucket", pa.int32()), ("n_terms", pa.int64()),
+        ("bucket", pa.int32()), ("part", pa.int32()),
+        ("n_terms", pa.int64()),
         ("n_postings", pa.int64()), ("n_bytes", pa.int64()),
         ("skipped", pa.bool_()), ("wall_s", pa.float64()),
     ])
 
     def _merge_bucket_task(batch: pa.Table) -> pa.Table:
-        """One task per bucket: read its row groups, merge, write the
-        segment file ATOMICALLY (tmp+rename, skip when present) — the
-        per-partition resume unit — and return a lineage/metrics row."""
+        """One task per (bucket, doc-range part): read the row groups
+        overlapping its rng interval, merge, write the part file
+        ATOMICALLY (tmp+rename, skip when present) — the per-partition
+        resume unit — and return a lineage/metrics row."""
         import pyarrow.compute as pc
 
         rows = []
-        for b in batch["bucket_id"].to_pylist():
-            b = int(b)
+        for r in batch.to_pylist():
+            b, pi = int(r["bucket_id"]), int(r["part_id"])
+            rlo, rhi = int(r["rng_lo"]), int(r["rng_hi"])
             tb0 = time.time()
             seg_dir = os.path.join(segments_dir, f"bucket={b}")
-            seg_path = os.path.join(seg_dir, "segment.parquet")
+            fname = "segment.parquet" if n_parts == 1 \
+                else f"part-{pi:05d}.parquet"
+            seg_path = os.path.join(seg_dir, fname)
             if os.path.exists(seg_path):
                 md = pq.read_metadata(seg_path)
-                rows.append({"bucket": b, "n_terms": md.num_rows,
+                rows.append({"bucket": b, "part": pi,
+                             "n_terms": md.num_rows,
                              "n_postings": -1, "n_bytes": -1,
                              "skipped": True, "wall_s": 0.0})
                 continue
             groups: dict[int, list[int]] = {}
             for fi, gi in rg_map[b]:
+                lo, hi = rg_rng[(fi, gi)]
+                if hi < rlo or lo > rhi:
+                    continue
                 groups.setdefault(fi, []).append(gi)
             parts = []
             for fi, gis in groups.items():
                 t = pq.ParquetFile(run_files[fi]).read_row_groups(gis)
-                parts.append(t.filter(pc.equal(t["bucket"], b)))
+                mask = pc.equal(t["bucket"], b)
+                if n_parts > 1:
+                    mask = pc.and_(mask, pc.and_(
+                        pc.greater_equal(t["rng"], rlo),
+                        pc.less_equal(t["rng"], rhi)))
+                parts.append(t.filter(mask))
             m = _merge_bucket_group(pa.concat_tables(parts), merge_scope) \
                 if parts else (_RUN_SCHEMA_POS if store_positions
                                else _RUN_SCHEMA).empty_table()
@@ -671,16 +710,17 @@ def build_index(pages_path: str, index_dir: str, *,
             pq.write_table(m, tmp, row_group_size=4096)
             os.rename(tmp, seg_path)
             rows.append({
-                "bucket": b, "n_terms": m.num_rows,
+                "bucket": b, "part": pi, "n_terms": m.num_rows,
                 "n_postings": int(pc.sum(m["df"]).as_py() or 0),
                 "n_bytes": int(sum(len(p) for p in m["payload"].to_pylist())),
                 "skipped": False, "wall_s": round(time.time() - tb0, 4),
             })
         return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
 
-    buckets_ds = ray.data.from_items(
-        [{"bucket_id": b} for b in range(num_buckets)],
-        override_num_blocks=num_buckets)
+    items = [{"bucket_id": b, "part_id": pi, "rng_lo": lo, "rng_hi": hi}
+             for b in range(num_buckets)
+             for pi, (lo, hi) in enumerate(part_ranges)]
+    buckets_ds = ray.data.from_items(items, override_num_blocks=len(items))
     manifest_rows = buckets_ds.map_batches(
         _merge_bucket_task, batch_size=1,
         batch_format="pyarrow").to_pandas().to_dict("records")

@@ -197,6 +197,34 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
     return out_d, out_t
 
 
+def runs_chainable(runs: list[EncodedRun]) -> bool:
+    """True when every run's last doc precedes the next run's first doc
+    (runs already sorted by first_doc) — the byte-concat precondition."""
+    return all(int(runs[i].block_last_doc[-1])
+               < int(runs[i + 1].block_first_doc[0])
+               for i in range(len(runs) - 1))
+
+
+def merge_runs(runs: list[EncodedRun]) -> EncodedRun:
+    """Merge one term's runs (sorted by first_doc): byte-concat when the
+    runs are doc-disjoint and ordered (the normal tiered-merge layout);
+    otherwise decode, doc-sort, re-encode — the interleaved-range case a
+    part-split merge can leave when input batches straddle files.  The
+    re-encode reuses each source block's min_dl for its postings: a lower
+    bound of the true dls, so WAND block upper bounds stay valid (exact
+    scores always come from the doclens sidecar, not this metadata)."""
+    if runs_chainable(runs):
+        return concat_runs(runs)
+    parts = [decode_run(r) for r in runs]
+    d = np.concatenate([p[0] for p in parts])
+    t = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([
+        np.repeat(np.asarray(r.block_min_dl, dtype=np.int64),
+                  np.asarray(r.block_len, dtype=np.int64)) for r in runs])
+    order = np.argsort(d, kind="stable")
+    return encode_postings(d[order], t[order], dls[order])
+
+
 def concat_runs(runs: list[EncodedRun]) -> EncodedRun:
     """Concatenate doc-range-ordered runs of the same term into one run.
 

@@ -56,12 +56,13 @@ class IndexReader:
             rows.extend(t.to_pylist())
         run = None
         if rows:
-            # a hierarchical merge may leave one segment row per doc-range;
-            # concat them in first_doc order (doc-disjoint by construction)
+            # a hierarchical merge may leave one segment row per doc-range
+            # (and per part file); concat them in first_doc order, with a
+            # decode-merge-reencode fallback when part intervals interleave
             rows.sort(key=lambda r: r["first_doc"])
-            from ..index.codec import concat_runs
+            from ..index.codec import merge_runs
 
-            run = concat_runs([_row_to_run(r) for r in rows])
+            run = merge_runs([_row_to_run(r) for r in rows])
         self._cache[term] = run
         return run
 
@@ -112,11 +113,24 @@ class IndexReader:
         if not rows:
             return None
         rows.sort(key=lambda r: r["first_doc"])
-        from ..index.codec import concat_runs, decode_run
+        from ..index.codec import concat_runs, decode_run, runs_chainable
 
-        run = concat_runs([_row_to_run(r) for r in rows])
-        doc_ids, tfs = decode_run(run)
+        runs = [_row_to_run(r) for r in rows]
         flat_pos = np.concatenate(
             [np.asarray(r["positions"], dtype=np.int32) for r in rows]) \
             if rows else np.zeros(0, dtype=np.int32)
-        return doc_ids, tfs, flat_pos
+        if runs_chainable(runs):
+            doc_ids, tfs = decode_run(concat_runs(runs))
+            return doc_ids, tfs, flat_pos
+        # interleaved part intervals: doc-sort the merged postings and
+        # reorder the per-posting position slices to match
+        parts = [decode_run(r) for r in runs]
+        d = np.concatenate([p[0] for p in parts])
+        t = np.concatenate([p[1] for p in parts])
+        order = np.argsort(d, kind="stable")
+        cum = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(t, out=cum[1:])
+        flat_pos = np.concatenate(
+            [flat_pos[cum[k]:cum[k + 1]] for k in order]) \
+            if len(order) else flat_pos[:0]
+        return d[order], t[order], flat_pos
