@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": P.top_terms,
         "corpus_stats": P.corpus_stats,
         "bm25_topk": P.bm25_topk,
+        "bm25_topk_parts": P.bm25_topk_parts,
         "bm25_topk_sharded": P.bm25_topk_sharded,
         "search_and": P.search_and,
         # --- relational / query-language (Q2-Q6, S4/A8, joins, sorts) ---
@@ -245,8 +246,9 @@ def oracle_sql() -> dict[str, str]:
                    round((SELECT count(*) FROM tok)::DOUBLE
                          / (SELECT count(*) FROM documents), 6) AS avgdl""",
         "bm25_topk": _bm25_sql(),
-        # the sharded service is bit-identical to the single index by
-        # contract (global N/avgdl/df) -> same oracle
+        # the hierarchical (merge_parts) build and the sharded service
+        # are bit-identical to the single index by contract -> same oracle
+        "bm25_topk_parts": _bm25_sql(),
         "bm25_topk_sharded": _bm25_sql(),
         "search_and":
             f"SELECT doc_id FROM documents WHERE {search_preds}",

@@ -162,6 +162,30 @@ def bm25_topk(sf_dir: str, query: str = "spark merge batch", k: int = 10):
     })
 
 
+def bm25_topk_parts(sf_dir: str, query: str = "spark merge batch",
+                    k: int = 10):
+    """BM25 top-k over an index built with the bounded-task HIERARCHICAL
+    merge (merge_parts=3, small batches/doc-ranges so runs really spread
+    across parts): the part-split merge plus the reader's
+    interleaved-parts merge fallback are driver-checked against the same
+    SQL BM25 truth as bm25_topk."""
+    from .query.engine import BlockMaxWand, taat_topk
+    from .query.reader import IndexReader
+
+    key = hashlib.sha1((sf_dir + "#parts").encode()).hexdigest()[:12]
+    index_dir = f"/tmp/eor_parts_cache/{key}"
+    build_index(_t(sf_dir, "documents"), index_dir, from_html=False,
+                num_buckets=8, doc_range_size=64, batch_size=128,
+                merge_parts=3)
+    reader = IndexReader(index_dir)
+    res = BlockMaxWand(reader).topk(query, k=k)
+    assert res == taat_topk(reader, query, k=k)  # engine self-check
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": duck_round([s for _, s in res], ROUND_SCORE),
+    })
+
+
 def index_append_term_df(sf_dir: str):
     """term -> document frequency read FROM A TWO-STEP INDEX: build over
     the first half of documents, ``append_to_index`` the second half,
