@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": P.bm25_topk,
         "bm25_topk_parts": P.bm25_topk_parts,
         "bm25_topk_sharded": P.bm25_topk_sharded,
+        "bm25_topk_deletes": P.bm25_topk_deletes,
         "search_and": P.search_and,
         # --- relational / query-language (Q2-Q6, S4/A8, joins, sorts) ---
         "pricing_summary": P.pricing_summary,
@@ -128,17 +129,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(where: str = "TRUE") -> str:
+    """BM25 truth in SQL; ``where`` filters the corpus — used by the LSM
+    tombstone-delete gate (bm25_topk_deletes), whose engine result must be
+    rank-identical to BM25 over the filtered corpus."""
     terms_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest({TOK}) AS term FROM documents
+WITH corpus AS (SELECT * FROM documents WHERE {where}),
+tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM corpus
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 consts AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM corpus) AS n,
          (SELECT count(*) FROM tok)::DOUBLE
-           / (SELECT count(*) FROM documents) AS avgdl
+           / (SELECT count(*) FROM corpus) AS avgdl
 ),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
@@ -250,6 +255,9 @@ def oracle_sql() -> dict[str, str]:
         # are bit-identical to the single index by contract -> same oracle
         "bm25_topk_parts": _bm25_sql(),
         "bm25_topk_sharded": _bm25_sql(),
+        # LSM tombstone deletes + compaction: rank-identical to BM25 over
+        # the corpus minus the deleted docs
+        "bm25_topk_deletes": _bm25_sql(where="doc_id % 7 <> 3"),
         "search_and":
             f"SELECT doc_id FROM documents WHERE {search_preds}",
         "pricing_summary": """

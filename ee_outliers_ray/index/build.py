@@ -845,6 +845,14 @@ def append_to_index(new_pages_path, index_dir: str, *,
     # additional run files land next to the existing ones (unique names)
     runs.write_parquet(os.path.join(index_dir, "runs"), row_group_size=512)
 
+    # lineage: record the appended source paths so key-based upsert
+    # resolution (mutate.resolve_doc_ids_by_key) can scan docs that
+    # entered via append, not just the original pages_path
+    with open(os.path.join(index_dir, "appends.jsonl"), "a") as f:
+        f.write(json.dumps({"paths": (
+            [new_pages_path] if isinstance(new_pages_path, str)
+            else list(new_pages_path))}) + "\n")
+
     # invalidate merge outputs; the build resumes FROM RUNS (manifest kept)
     import shutil
 

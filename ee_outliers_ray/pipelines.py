@@ -186,6 +186,45 @@ def bm25_topk_parts(sf_dir: str, query: str = "spark merge batch",
     })
 
 
+def bm25_topk_deletes(sf_dir: str, query: str = "spark merge batch",
+                      k: int = 10):
+    """BM25 top-k AFTER LSM TOMBSTONE DELETES (docs with doc_id % 7 == 3
+    removed): the read-time tombstone filter must be rank-identical to
+    SQL BM25 over the filtered corpus, and physical compaction must not
+    change a single score — both driver-checked against the same oracle
+    (WHERE doc_id % 7 <> 3 baked into the SQL)."""
+    import pyarrow.parquet as pq
+
+    from .index.mutate import compact_index, delete_from_index
+    from .query.engine import BlockMaxWand, taat_topk
+    from .query.reader import IndexReader
+
+    key = hashlib.sha1((sf_dir + "#deletes").encode()).hexdigest()[:12]
+    index_dir = f"/tmp/eor_deletes_cache/{key}"
+    done = os.path.join(index_dir, "compacted.done")
+    if not os.path.exists(done):
+        build_index(_t(sf_dir, "documents"), index_dir, from_html=False,
+                    num_buckets=8, batch_size=4096, overwrite=True)
+        ids = pq.read_table(_t(sf_dir, "documents"),
+                            columns=["doc_id"])["doc_id"] \
+            .to_numpy(zero_copy_only=False)
+        delete_from_index(index_dir, ids[ids % 7 == 3])
+    reader = IndexReader(index_dir)
+    res = BlockMaxWand(reader).topk(query, k=k)
+    assert res == taat_topk(reader, query, k=k)  # engine self-check
+    if not os.path.exists(done):
+        # compaction self-check: physical removal preserves every score
+        compact_index(index_dir)
+        r2 = IndexReader(index_dir)
+        assert r2.deleted is None
+        assert BlockMaxWand(r2).topk(query, k=k) == res
+        open(done, "w").close()
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": duck_round([s for _, s in res], ROUND_SCORE),
+    })
+
+
 def index_append_term_df(sf_dir: str):
     """term -> document frequency read FROM A TWO-STEP INDEX: build over
     the first half of documents, ``append_to_index`` the second half,

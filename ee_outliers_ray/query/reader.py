@@ -38,6 +38,30 @@ class IndexReader:
         self.doclens = np.zeros(int(doc_id.max()) + 1 if len(doc_id) else 0,
                                 dtype=np.int32)
         self.doclens[doc_id] = dl
+        # LSM tombstones (index/mutate.py): filter postings at read time
+        # and adjust N / total_len / avgdl so BM25 results are RANK-
+        # IDENTICAL to an index rebuilt without the deleted docs.  df
+        # adjusts implicitly: df() counts the FILTERED run's postings.
+        self.total_len: int = int(self.stats["total_len"])
+        self.deleted: np.ndarray | None = None
+        from ..index.mutate import load_tombstones
+
+        tombs = load_tombstones(index_dir)
+        if len(tombs) and len(doc_id):
+            size = len(self.doclens)
+            hit = np.zeros(size, dtype=bool)
+            inb = tombs[(tombs >= 0) & (tombs < size)]
+            hit[inb] = True
+            present = np.zeros(size, dtype=bool)
+            present[doc_id] = True
+            hit &= present  # only tombstones naming an EXISTING doc count
+            n_del = int(hit.sum())
+            if n_del:
+                self.deleted = hit
+                self.n_docs -= n_del
+                self.total_len -= int(self.doclens[hit].sum())
+                self.avgdl = (self.total_len / self.n_docs
+                              if self.n_docs else 0.0)
         self._cache: dict[str, EncodedRun | None] = {}
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._decoded_postings = 0
@@ -63,8 +87,27 @@ class IndexReader:
             from ..index.codec import merge_runs
 
             run = merge_runs([_row_to_run(r) for r in rows])
+        if run is not None and self.deleted is not None:
+            run = self._filter_tombstoned(run)
         self._cache[term] = run
         return run
+
+    def _filter_tombstoned(self, run: EncodedRun) -> EncodedRun | None:
+        """Re-encode a run without tombstoned postings (exact dls from
+        the doclens sidecar, so block metadata stays tight).  Cached by
+        ``postings``, so the cost is once per term per reader; WAND
+        cursors, df() and TAAT all see the filtered run, keeping the
+        three paths bit-identical under deletes."""
+        from ..index.codec import decode_run, encode_postings
+
+        doc_ids, tfs = decode_run(run)
+        keep = ~self.deleted[doc_ids]
+        if keep.all():
+            return run
+        if not keep.any():
+            return None
+        d = doc_ids[keep]
+        return encode_postings(d, tfs[keep], self.doclens[d])
 
     def postings_decoded(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Decoded (doc_ids, tfs) with an LRU-ish cache — hot query terms
@@ -121,7 +164,7 @@ class IndexReader:
             if rows else np.zeros(0, dtype=np.int32)
         if runs_chainable(runs):
             doc_ids, tfs = decode_run(concat_runs(runs))
-            return doc_ids, tfs, flat_pos
+            return self._filter_positions(doc_ids, tfs, flat_pos)
         # interleaved part intervals: doc-sort the merged postings and
         # reorder the per-posting position slices to match
         parts = [decode_run(r) for r in runs]
@@ -133,4 +176,20 @@ class IndexReader:
         flat_pos = np.concatenate(
             [flat_pos[cum[k]:cum[k + 1]] for k in order]) \
             if len(order) else flat_pos[:0]
-        return d[order], t[order], flat_pos
+        return self._filter_positions(d[order], t[order], flat_pos)
+
+    def _filter_positions(self, d: np.ndarray, t: np.ndarray,
+                          flat_pos: np.ndarray):
+        """Drop tombstoned postings and their position slices."""
+        if self.deleted is None or not len(d):
+            return d, t, flat_pos
+        keep = ~self.deleted[d]
+        if keep.all():
+            return d, t, flat_pos
+        cum = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(t, out=cum[1:])
+        kept = np.flatnonzero(keep)
+        flat_pos = np.concatenate(
+            [flat_pos[cum[k]:cum[k + 1]] for k in kept]) \
+            if len(kept) else flat_pos[:0]
+        return d[keep], t[keep], flat_pos

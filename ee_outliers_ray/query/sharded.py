@@ -58,8 +58,10 @@ class ShardActor:
         self.searcher = TaatSearcher(self.reader)
 
     def stats(self) -> dict:
+        # reader.total_len is tombstone-adjusted (query/reader.py), so
+        # sharded global stats stay exact under LSM deletes
         return {"n_docs": self.reader.n_docs,
-                "total_len": self.reader.stats["total_len"]}
+                "total_len": self.reader.total_len}
 
     def set_global_stats(self, n_docs: int, avgdl: float) -> None:
         self.searcher.set_global_stats(n_docs, avgdl, {})
