@@ -216,13 +216,113 @@ def main(argv=None) -> int:
                    help="5-field cron schedule for re-runs (daemon mode "
                         "parity); overrides --sleep")
     sub.add_parser("tests", help="run the pytest suite")
+    ix = sub.add_parser(
+        "index", help="inverted-index lifecycle (the `ray job submit` "
+                      "entry point: build / append / upsert / delete / "
+                      "compact / query)")
+    ix.add_argument("action", choices=["build", "append", "upsert",
+                                       "delete", "compact", "query"])
+    ix.add_argument("--index", required=True, help="index directory")
+    ix.add_argument("--pages", help="pages parquet path/dir "
+                                    "(build/append/upsert)")
+    ix.add_argument("--from-text", action="store_true",
+                    help="input has a text column instead of html")
+    ix.add_argument("--num-buckets", type=int, default=64)
+    ix.add_argument("--doc-range-size", type=int, default=1 << 18)
+    ix.add_argument("--batch-size", type=int, default=8192)
+    ix.add_argument("--merge-parts", type=int, default=1,
+                    help="hierarchical-merge fan-out per bucket")
+    ix.add_argument("--positions", action="store_true",
+                    help="store positional postings (phrase queries)")
+    ix.add_argument("--overwrite", action="store_true")
+    ix.add_argument("--key-col", default="url", help="upsert identity key")
+    ix.add_argument("--ids", help="comma-separated doc_ids (delete)")
+    ix.add_argument("--ids-file",
+                    help="parquet file with a doc_id column (delete)")
+    ix.add_argument("--query", help="query string (query)")
+    ix.add_argument("-k", type=int, default=10)
+    ix.add_argument("--engine", choices=["wand", "taat"], default="wand")
     args = p.parse_args(argv)
     if args.mode == "tests":
         import pytest
 
         return pytest.main(["-x", "-q", "tests/"])
+    if args.mode == "index":
+        return _index_cli(args)
     _run(args)
     return 0
+
+
+def _index_cli(args) -> int:
+    """Index lifecycle CLI — owns its Ray session (library code never
+    calls ray.init)."""
+    import json
+
+    import numpy as np
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    try:
+        from_html = not args.from_text
+        if args.action == "build":
+            from .index.build import build_index
+
+            out = build_index(args.pages, args.index,
+                              num_buckets=args.num_buckets,
+                              doc_range_size=args.doc_range_size,
+                              from_html=from_html,
+                              batch_size=args.batch_size,
+                              merge_parts=args.merge_parts,
+                              store_positions=args.positions,
+                              overwrite=args.overwrite)
+        elif args.action == "append":
+            from .index.build import append_to_index
+
+            out = append_to_index(args.pages, args.index,
+                                  from_html=from_html,
+                                  batch_size=args.batch_size)
+        elif args.action == "upsert":
+            from .index.mutate import upsert_to_index
+
+            out = upsert_to_index(args.pages, args.index,
+                                  key_col=args.key_col,
+                                  from_html=from_html,
+                                  batch_size=args.batch_size)
+        elif args.action == "delete":
+            from .index.mutate import delete_from_index
+
+            if args.ids_file:
+                import pyarrow.parquet as pq
+
+                ids = pq.read_table(args.ids_file, columns=["doc_id"]) \
+                    ["doc_id"].to_numpy(zero_copy_only=False)
+            elif args.ids:
+                ids = np.array([int(x) for x in args.ids.split(",")],
+                               dtype=np.int64)
+            else:
+                print("delete needs --ids or --ids-file", file=sys.stderr)
+                return 2
+            out = delete_from_index(args.index, ids)
+        elif args.action == "compact":
+            from .index.mutate import compact_index
+
+            out = compact_index(args.index)
+        else:  # query
+            from .query.engine import BlockMaxWand, taat_topk
+            from .query.reader import IndexReader
+
+            reader = IndexReader(args.index)
+            res = (BlockMaxWand(reader).topk(args.query, args.k)
+                   if args.engine == "wand"
+                   else taat_topk(reader, args.query, args.k))
+            out = {"query": args.query, "k": args.k, "engine": args.engine,
+                   "results": [{"doc_id": d, "score": s} for d, s in res]}
+        print(json.dumps(out))
+        return 0
+    finally:
+        ray.shutdown()
 
 
 if __name__ == "__main__":

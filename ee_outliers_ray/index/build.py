@@ -820,9 +820,15 @@ def append_to_index(new_pages_path, index_dir: str, *,
     for fpath in dl_files[-4:]:  # files are named by min doc_id, sorted
         d = pq.read_table(fpath, columns=["doc_id"])["doc_id"]
         max_existing = max(max_existing, int(d[len(d) - 1].as_py()))
+    if isinstance(new_pages_path, str) and os.path.isfile(new_pages_path):
+        new_files = [new_pages_path]
+    elif isinstance(new_pages_path, str):
+        new_files = sorted(_glob.glob(os.path.join(new_pages_path,
+                                                   "*.parquet")))
+    else:
+        new_files = list(new_pages_path)
     new_min = None
-    for fpath in (sorted(_glob.glob(os.path.join(new_pages_path, "*.parquet")))
-                  if isinstance(new_pages_path, str) else new_pages_path):
+    for fpath in new_files:
         d = pq.read_table(fpath, columns=["doc_id"])["doc_id"]
         mn = min(int(x) for x in d.to_pylist())
         new_min = mn if new_min is None else min(new_min, mn)

@@ -96,6 +96,8 @@ def resolve_doc_ids_by_key(index_dir: str, keys, *,
     import ray
     import ray.data
 
+    if not keys:
+        return np.zeros(0, dtype=np.int64)
     with open(os.path.join(index_dir, "stats.json")) as f:
         pages_path = json.load(f)["pages_path"]
     paths = [pages_path] if isinstance(pages_path, str) else list(pages_path)
@@ -127,8 +129,11 @@ def upsert_to_index(new_pages_path, index_dir: str, *,
     New rows follow the append contract (doc_id beyond every existing
     id); the old docs sharing a ``key_col`` value with any new row are
     tombstoned, so queries see exactly one (the new) version per key."""
-    files = (sorted(glob.glob(os.path.join(new_pages_path, "*.parquet")))
-             if isinstance(new_pages_path, str) else list(new_pages_path))
+    if isinstance(new_pages_path, str):
+        files = [new_pages_path] if os.path.isfile(new_pages_path) else \
+            sorted(glob.glob(os.path.join(new_pages_path, "*.parquet")))
+    else:
+        files = list(new_pages_path)
     keys: set = set()
     for f in files:
         keys.update(pq.read_table(f, columns=[key_col])[key_col].to_pylist())

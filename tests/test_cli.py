@@ -256,3 +256,52 @@ def test_apply_outliers_sharded_matches_broadcast():
             lambda o: None if o is None else sorted(o.items()))
         df["tags"] = df["tags"].map(lambda t: None if t is None else list(t))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_index_cli_lifecycle(tmp_path, capsys):
+    """python -m ee_outliers_ray index build/query/delete/compact/upsert —
+    the ray-job-submit lifecycle surface, in-process."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ee_outliers_ray.__main__ import main
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), type=pa.int64()),
+        "url": pa.array([f"https://x/{i}" for i in range(8)]),
+        "text": ["alpha beta", "beta gamma", "alpha alpha", "delta",
+                 "beta", "alpha beta gamma", "epsilon", "gamma gamma"],
+    }), str(pages / "a.parquet"))
+    idx = str(tmp_path / "idx")
+
+    def run(argv):
+        assert main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run(["index", "build", "--index", idx, "--pages", str(pages),
+               "--from-text", "--num-buckets", "2", "--batch-size", "4"])
+    assert out["n_docs"] == 8
+    q = ["index", "query", "--index", idx, "--query", "alpha beta", "-k", "3"]
+    res = run(q)["results"]
+    assert [r["doc_id"] for r in res] == [0, 5, 2]
+    run(["index", "delete", "--index", idx, "--ids", "0,5"])
+    res2 = run(q + ["--engine", "taat"])["results"]
+    assert not {0, 5} & {r["doc_id"] for r in res2}
+    out = run(["index", "compact", "--index", idx])
+    assert out["n_docs_removed"] == 2
+    assert run(q)["results"] == res2
+    # upsert: replace url 2's doc with a new version
+    newf = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "url": pa.array(["https://x/2"]),
+        "text": ["zulu zulu"]}), newf)
+    out = run(["index", "upsert", "--index", idx, "--pages", newf,
+               "--from-text", "--batch-size", "4"])
+    assert out["n_replaced"] == 1
+    res3 = run(["index", "query", "--index", idx, "--query", "zulu"])
+    assert [r["doc_id"] for r in res3["results"]] == [100]
