@@ -26,6 +26,20 @@ import subprocess
 import sys
 import time
 
+# The sandbox host intermittently stalls 100-500x on FIRST-TOUCH of
+# freshly mmapped pages (memory/host-page-stall-noise.md): glibc malloc
+# mmaps every allocation >128 KB and munmaps it on free, so each large
+# numpy temporary re-faults fresh pages — measured 6.3 s for an
+# np.unique over 1.3M u64 that takes 0.03 s on warm pages.  Pinning big
+# allocations to the reusable heap removes the stall entirely (A/B:
+# 6.33 s -> 0.046 s first run, same storm window).  Re-exec so the
+# setting reaches THIS process's malloc and every Ray worker under it.
+_MALLOC_ENV = {"MALLOC_MMAP_THRESHOLD_": "1073741824",
+               "MALLOC_TRIM_THRESHOLD_": "1073741824"}
+if any(os.environ.get(k) != v for k, v in _MALLOC_ENV.items()):
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              {**os.environ, **_MALLOC_ENV})
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 

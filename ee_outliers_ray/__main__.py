@@ -257,9 +257,15 @@ def _index_cli(args) -> int:
     """Index lifecycle CLI — owns its Ray session (library code never
     calls ray.init)."""
     import json
+    import os
 
     import numpy as np
     import ray
+
+    # workers inherit these; avoids the sandbox fresh-page stall
+    # (bench.py header) in every hot kernel
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,

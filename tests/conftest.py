@@ -1,5 +1,11 @@
 import os
 
+# pin big allocations to the reusable heap BEFORE Ray spawns workers —
+# the sandbox host stalls 100-500x on fresh-page first touch (see
+# bench.py header); workers inherit these and skip the stalls
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 import pytest
 import ray
 
