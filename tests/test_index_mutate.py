@@ -150,3 +150,29 @@ def test_upsert_replaces_by_url(corpus, tmp_path):
     assert hits == set(range(600, 607))
     for q in QUERIES:
         assert not {d for d, _ in taat_topk(r, q, 200)} & set(replaced_ids)
+
+
+def test_sharded_service_under_deletes(tmp_path):
+    """Tombstones in shard indexes must keep the sharded service
+    score-identical to a single tombstoned index: shard-local df filters
+    propagate through the global-df fan-out, and the adjusted
+    total_len/n_docs feed the global avgdl."""
+    from ee_outliers_ray.query.sharded import (ShardedQueryService,
+                                               build_sharded_index)
+
+    pages = str(tmp_path / "pages")
+    generate_pages(pages, total_rows=400, num_files=4, seed=42)
+    single = str(tmp_path / "single")
+    build_index(pages, single, num_buckets=4, batch_size=100)
+    dirs = build_sharded_index(pages, str(tmp_path / "shards"), n_shards=2,
+                               num_buckets=4, batch_size=100)
+    drop = np.arange(0, 400, 9, dtype=np.int64)
+    delete_from_index(single, drop)
+    for d in dirs:  # same tombstone set in every shard: ids outside a
+        delete_from_index(d, drop)  # shard's range simply don't match
+    reader = IndexReader(single)
+    svc = ShardedQueryService(dirs)
+    assert svc.n_docs == reader.n_docs
+    assert svc.avgdl == reader.avgdl
+    for q in ["the data", "w0042", "the", "fast merge w0007"]:
+        assert svc.topk(q, k=10) == taat_topk(reader, q, k=10), q
