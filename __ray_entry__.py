@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_filter": P.dsl_filter,
         "matched_values_highlight": P.matched_values_highlight,
         "hash_join_revenue": P.hash_join_revenue,
+        "asof_join_events": P.asof_join_events,
         "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
         "word2vec_outliers": P.word2vec_outliers,
@@ -383,6 +384,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority""",
+        # as-of join: latest click at-or-before each purchase per user;
+        # ties on click ts resolve to the greatest click event_id (same
+        # deterministic rule as joins.asof_join)
+        "asof_join_events": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click'),
+            j AS (
+              SELECT p.event_id, p.ts, p.user_id,
+                     c.event_id AS click_event_id, c.ts AS click_ts,
+                     row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+            )
+            SELECT event_id, ts, user_id, click_event_id, click_ts
+            FROM j WHERE rn = 1""",
         "simplequery_filter": """
             SELECT event_id, event_type FROM events
             WHERE event_type = 'error' AND props IS NOT NULL""",

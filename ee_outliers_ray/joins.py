@@ -134,3 +134,86 @@ def anti_join(ds, keys: set, key_col: str):
         return b.filter(pc.invert(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
+              tie_col: str, num_buckets: int = 16, suffix: str = "_r"):
+    """Distributed AS-OF JOIN: for every left row, attach the right row
+    with the greatest ``ts_col`` <= the left row's, per ``key`` (inner:
+    left rows with no eligible right row are dropped).
+
+    Ties on the right timestamp resolve to the greatest ``tie_col``
+    (deterministic — plain ASOF JOIN is underspecified under duplicate
+    timestamps, which would break cross-engine hash comparison).
+
+    Shape: the same single-shuffle co-group as ``hash_join`` (both sides
+    tagged with hash(key) % B, one groupby); inside each bucket the
+    match is fully vectorized — factorize keys, rank-compress
+    timestamps, pack (key, ts_rank) into ONE int64 composite, and a
+    single ``np.searchsorted(side='right') - 1`` finds every left row's
+    predecessor in the (key, ts, tie)-sorted right side.  No per-key
+    loop, no per-row loop; skew is bounded by bucket granularity like
+    hash_join."""
+    l_cols = list(ds_left.schema().names)
+    r_schema = ds_right.schema()
+    r_rename = {n: (n + suffix if n in l_cols else n)
+                for n in r_schema.names}
+    r_cols = [r_rename[n] for n in r_schema.names]
+    rk, rts, rtie = r_rename[key], r_rename[ts_col], r_rename[tie_col]
+
+    def _pa_type(t):
+        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+
+    all_fields = {n: _pa_type(t) for n, t in
+                  zip(ds_left.schema().names, ds_left.schema().types)}
+    for n, t in zip(r_schema.names, r_schema.types):
+        all_fields[r_rename[n]] = _pa_type(t)
+
+    def tag(side: str, rename: dict | None):
+        def f(b: pa.Table) -> pa.Table:
+            if rename:
+                b = b.rename_columns([rename[n] for n in b.column_names])
+            cols = {}
+            for name, typ in all_fields.items():
+                cols[name] = b[name] if name in b.column_names \
+                    else pa.nulls(b.num_rows, typ)
+            bucket_key = key if side == "a" else rk
+            cols["_bucket"] = pa.array(_bucket_of(b[bucket_key], num_buckets))
+            cols["_side"] = pa.array([side] * b.num_rows)
+            return pa.table(cols)
+        return f
+
+    u = ds_left.map_batches(tag("a", None), batch_format="pyarrow").union(
+        ds_right.map_batches(tag("b", r_rename), batch_format="pyarrow"))
+
+    out_cols = l_cols + [c for c in r_cols if c != rk]
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == "a"]
+        right = g[g["_side"] == "b"]
+        empty = pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+                              for c in out_cols})
+        if not len(left) or not len(right):
+            return empty
+        kid, _ = pd.factorize(
+            pd.concat([left[key], right[rk]], ignore_index=True), sort=True)
+        lk, rkid = kid[:len(left)], kid[len(left):]
+        lts = left[ts_col].to_numpy()
+        rtsv = right[rts].to_numpy()
+        # rank-compress timestamps over the union so (key, ts) packs
+        # into one int64 composite with no overflow
+        uts = np.unique(np.concatenate([lts, rtsv]))
+        lr = np.searchsorted(uts, lts).astype(np.int64)
+        rr = np.searchsorted(uts, rtsv).astype(np.int64)
+        m = np.int64(len(uts) + 1)
+        order = np.lexsort([right[rtie].to_numpy(), rr, rkid])
+        rcomp = rkid[order] * m + rr[order]
+        pos = np.searchsorted(rcomp, lk * m + lr, side="right") - 1
+        ok = pos >= 0
+        ok[ok] &= rkid[order][pos[ok]] == lk[ok]
+        lsel = left[l_cols].iloc[np.flatnonzero(ok)].reset_index(drop=True)
+        rsel = right[r_cols].iloc[order[pos[ok]]].reset_index(drop=True)
+        out = pd.concat([lsel, rsel.drop(columns=[rk])], axis=1)
+        return out if len(out) else empty
+
+    return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")

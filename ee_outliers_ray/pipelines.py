@@ -912,6 +912,36 @@ def hash_join_revenue(sf_dir: str):
     return out
 
 
+def asof_join_events(sf_dir: str):
+    """AS-OF JOIN (custom operator — Ray Data has no native form): every
+    purchase event gets the most recent click AT OR BEFORE it by the
+    same user; ties on the click timestamp resolve to the greatest
+    click event_id (deterministic under duplicate timestamps).  One
+    hash-bucket co-group shuffle + a fully vectorized composite-key
+    searchsorted inside each bucket (joins.asof_join)."""
+    from .joins import asof_join
+
+    ev = read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                         "event_type"])
+
+    def only(et: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], et)) \
+                .drop_columns(["event_type"])
+        return f
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    out = asof_join(purchases, clicks, "user_id", "ts", tie_col="event_id",
+                    num_buckets=8)
+
+    def rename(b: pa.Table) -> pa.Table:
+        names = {"event_id_r": "click_event_id", "ts_r": "click_ts"}
+        return b.rename_columns([names.get(n, n) for n in b.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def simplequery_filter(sf_dir: str):
     """simplequery via the query-string parser (Q1/Q2 surface): events
     matching ``event_type:error AND _exists_:props``."""

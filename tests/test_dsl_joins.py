@@ -202,3 +202,35 @@ def test_notifier_email_assembly_and_fake_transport():
     ])
     assert notify_outliers(ds, n) == 2
     assert sorted(ray.get(col.all.remote())) == ["a", "b"]
+
+
+def test_asof_join_ties_and_no_match():
+    """asof_join determinism: duplicate right timestamps resolve to the
+    greatest tie_col; left rows with no eligible right row drop; exact
+    ts equality counts as 'at or before'."""
+    import pandas as pd
+    import ray.data
+
+    from ee_outliers_ray.joins import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime(["2024-01-05", "2024-01-02", "2024-01-01",
+                              "2024-01-09"]).astype("datetime64[us]"),
+        "user_id": [7, 7, 7, 8],
+    }))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "event_id": [10, 11, 12, 13, 14],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-02", "2024-01-04",
+                              "2024-01-06", "2024-01-01"]
+                             ).astype("datetime64[us]"),
+        "user_id": [7, 7, 7, 7, 9],
+    }))
+    out = asof_join(left, right, "user_id", "ts", tie_col="event_id") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1 (Jan 5, u7) -> click 12 (Jan 4); event 2 (Jan 2) -> tie on
+    # Jan 2 resolves to id 11 (greatest); event 3 (Jan 1) has no prior
+    # click; event 4 is user 8 with no clicks at all
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["event_id_r"].tolist() == [12, 11]
+    assert str(out["ts"].dtype) == "datetime64[us]"
