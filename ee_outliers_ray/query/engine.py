@@ -10,6 +10,10 @@ return **identical** (doc_id, score) lists:
 - ``BlockMaxWand``: document-at-a-time block-max WAND — skips blocks whose
   score upper bounds cannot enter the top-k heap; the 10^12-doc scale path
   (accumulator-free, postings decoded block-wise on demand).
+- ``BlockMaxPruning``: vectorized range-at-a-time pruning (BMP) — the
+  skip path without a per-document Python loop; projects block maxima
+  onto fixed doc ranges and scores only ranges whose bound can still
+  enter the heap.
 
 Replaces the reference's delegation of ``query_string`` scoring to
 Elasticsearch/Lucene (/root/reference/app/helpers/es.py:238-250).
@@ -159,6 +163,142 @@ class TaatSearcher:
 def taat_topk(reader: IndexReader, query: str, k: int = 10
               ) -> list[tuple[int, float]]:
     return TaatSearcher(reader).topk(query, k)
+
+
+class BlockMaxPruning:
+    """Vectorized range-at-a-time block-max pruning (BMP) top-k.
+
+    The scale-path counterpart to ``BlockMaxWand`` with NO per-document
+    Python loop: per-term, per-block BM25 upper bounds are projected onto
+    fixed-width doc-id ranges with two ``searchsorted`` passes and one
+    ``maximum.reduceat`` (no posting decode); ranges are visited in
+    descending aggregate-bound order and each visited range is scored with
+    the same float64 ascending-term-order numpy kernel as ``TaatSearcher``,
+    so (doc_id, score) results are bit-identical to TAAT and WAND
+    (pytest-gated).  Visiting stops at the first range whose bound is
+    STRICTLY below the current kth score: ``<=`` would be unsafe under the
+    (score desc, doc_id asc) tie rule, because an unvisited doc tying the
+    kth score with a smaller doc_id would still deserve the slot.
+
+    After the range-pruning idea of Mallia, Suel & Tonellotto, "Faster
+    Learned Sparse Retrieval with Block-Max Pruning" (SIGIR 2024, public),
+    adapted to this codec's unaligned 128-posting blocks: a block
+    straddling a range boundary contributes through the explicit
+    ``ub[hi-1]`` term, so the projected bound stays valid without
+    re-blocking the index.  At 10^12-doc scale the corpus is doc-sharded;
+    each shard prunes over its own ranges and only (range bound, shard)
+    pairs above the global theta are scored — the bound projection is
+    O(n_ranges + n_blocks) per term, independent of posting count.
+    """
+
+    def __init__(self, reader: IndexReader, range_width: int = 4096):
+        self.reader = reader
+        self.range_width = int(range_width)
+        self._blocks: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, term: str, run, bi: int):
+        from ..index.codec import decode_block
+
+        key = (term, bi)
+        hit = self._blocks.get(key)
+        if hit is None:
+            hit = decode_block(run.payload, int(run.block_offset[bi]),
+                               int(run.block_len[bi]),
+                               int(run.block_first_doc[bi]))
+            self._blocks[key] = hit
+        return hit
+
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        r = self.reader
+        W = self.range_width
+        n_docs_total = len(r.doclens)
+        n_ranges = max(1, -(-n_docs_total // W))
+        entries = []
+        for t in _query_terms(query):
+            run = r.postings(t)
+            if run is None:
+                continue
+            entries.append((t, run, idf(r.n_docs, run.n_postings)))
+        if not entries:
+            return []
+
+        starts = np.arange(n_ranges, dtype=np.int64) * W
+        bound = np.zeros(n_ranges, dtype=np.float64)
+        spans = []  # per-term (lo, hi) block-index windows per range
+        for t, run, idf_val in entries:
+            ub = block_upper_bound(idf_val, run.block_max_tf,
+                                   run.block_min_dl, r.avgdl)
+            nb = len(ub)
+            # blocks intersecting range r: [lo_r, hi_r)
+            lo = np.searchsorted(run.block_last_doc, starts, side="left")
+            hi = np.searchsorted(run.block_first_doc, starts + W,
+                                 side="left")
+            has = hi > lo
+            # segment max over [lo_r, lo_{r+1}) via reduceat on a padded
+            # array (pad makes index nb valid; empty segments are masked)
+            ub_pad = np.append(ub, -np.inf)
+            segmax = np.maximum.reduceat(ub_pad, np.minimum(lo, nb))
+            seg_nonempty = np.diff(np.append(lo, nb)) > 0
+            contrib = np.zeros(n_ranges, dtype=np.float64)
+            contrib[has] = ub[np.maximum(hi - 1, 0)[has]]
+            m = seg_nonempty & has
+            contrib[m] = np.maximum(contrib[m], segmax[m])
+            bound += contrib
+            spans.append((lo, hi))
+
+        order = np.argsort(-bound, kind="stable")
+        heap: list[tuple[float, int]] = []
+        theta = -np.inf
+        acc = np.zeros(W, dtype=np.float64)
+        touched = np.zeros(W, dtype=bool)
+        avgdl = r.avgdl
+        doclens = r.doclens
+        for o in order.tolist():
+            b = bound[o]
+            if b <= 0.0:
+                break
+            if len(heap) >= k and b < theta:
+                break
+            base = o * W
+            end = base + W
+            for (t, run, idf_val), (lo, hi) in zip(entries, spans):
+                for bi in range(int(lo[o]), int(hi[o])):
+                    docs, tfs = self._block(t, run, bi)
+                    s = int(np.searchsorted(docs, base, side="left"))
+                    e = int(np.searchsorted(docs, end, side="left"))
+                    if s == e:
+                        continue
+                    d = docs[s:e]
+                    w = term_weight(tfs[s:e], doclens[d], idf_val, avgdl)
+                    loc = d - base
+                    acc[loc] += w
+                    touched[loc] = True
+            local = np.flatnonzero(touched)
+            if local.size:
+                scores_r = acc[local]
+                if len(heap) >= k:
+                    keep = np.flatnonzero(scores_r >= theta)
+                    cand_s, cand_d = scores_r[keep], local[keep] + base
+                else:
+                    cand_s, cand_d = scores_r, local + base
+                for sc, dc in zip(cand_s.tolist(), cand_d.tolist()):
+                    item = (sc, -dc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                        if len(heap) == k:
+                            theta = heap[0][0]
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                        theta = heap[0][0]
+                acc[local] = 0.0
+                touched[local] = False
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-d, s) for s, d in out]
+
+
+def bmp_topk(reader: IndexReader, query: str, k: int = 10,
+             range_width: int = 4096) -> list[tuple[int, float]]:
+    return BlockMaxPruning(reader, range_width).topk(query, k)
 
 
 class BlockMaxWand:

@@ -124,6 +124,30 @@ def test_wand_k1(reader):
         taat_topk(reader, "data search", k=1)
 
 
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("width", [64, 256, 4096])
+def test_bmp_matches_taat_exactly(reader, query, width):
+    """Range-width sweep: 64 forces straddling blocks + many ranges, 4096
+    puts the whole 600-doc corpus in one range (degenerates to TAAT)."""
+    from ee_outliers_ray.query.engine import BlockMaxPruning
+
+    taat = taat_topk(reader, query, k=10)
+    bmp = BlockMaxPruning(reader, range_width=width).topk(query, k=10)
+    assert bmp == taat  # rank- AND score-identical (bit-for-bit)
+
+
+def test_bmp_k1_and_large_k(reader):
+    from ee_outliers_ray.query.engine import BlockMaxPruning
+
+    bmp = BlockMaxPruning(reader, range_width=128)
+    assert bmp.topk("data search", k=1) == taat_topk(reader, "data search", k=1)
+    # k larger than the number of matching docs
+    assert bmp.topk("w0042", k=5000) == taat_topk(reader, "w0042", k=5000)
+    # searcher reuse across queries (block cache + theta reset)
+    assert bmp.topk("the data", k=10) == taat_topk(reader, "the data", k=10)
+    assert bmp.topk("the data", k=10) == taat_topk(reader, "the data", k=10)
+
+
 def test_resume_from_runs(corpus_dir, index_dir, reader):
     """Deleting segments + manifest must rebuild from runs (no re-tokenize)
     and produce identical query results."""

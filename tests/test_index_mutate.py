@@ -60,6 +60,8 @@ def test_delete_rank_identical_to_rebuild(corpus, tmp_path):
         want = taat_topk(r_ref, q, 10)
         assert taat_topk(r_del, q, 10) == want, q
         assert BlockMaxWand(r_del).topk(q, 10) == want, q
+        from ee_outliers_ray.query.engine import BlockMaxPruning
+        assert BlockMaxPruning(r_del, range_width=128).topk(q, 10) == want, q
     # df adjusts to the filtered postings count
     assert r_del.df("the") == r_ref.df("the")
     # no surviving result may name a deleted doc
