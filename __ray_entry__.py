@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": P.asof_join_events,
         "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
+        "wildcard_search": P.wildcard_search,
+        "range_filter": P.range_filter,
         "word2vec_outliers": P.word2vec_outliers,
         "word2vec_prob_scores": P.word2vec_prob_scores,
         "enrichment": P.enrichment_snapshot,
@@ -409,6 +411,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE regexp_matches(lower(text),
                 '(^|[^a-z0-9])spark[^a-z0-9]+merge([^a-z0-9]|$)')""",
+        "wildcard_search": r"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(regexp_extract_all(lower(text),
+                      '[a-z0-9]+'), t -> t LIKE 'sc%')) > 0
+               OR len(list_filter(regexp_extract_all(lower(text),
+                      '[a-z0-9]+'),
+                      t -> regexp_matches(t, '^s[a-z0-9]ark$'))) > 0""",
+        "range_filter": """
+            SELECT event_id, event_type FROM events
+            WHERE (event_type = 'purchase' AND value BETWEEN 100 AND 250)
+               OR (event_type = 'error' AND value >= 320)""",
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups

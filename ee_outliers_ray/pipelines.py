@@ -953,6 +953,35 @@ def simplequery_filter(sf_dir: str):
     return out.select_columns(["event_id", "event_type"])
 
 
+def wildcard_search(sf_dir: str, query: str = "sc* OR s?ark"):
+    """Lucene wildcard clauses (``*``/``?``) resolved through the index's
+    term dictionary (prefix-pruned segment range scan + posting-list
+    union, capped at the max_clause_count analogue) — part of the
+    query_string surface the reference forwards verbatim to ES
+    (/root/reference/app/helpers/es.py:238-250)."""
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, query, reader=reader)
+    return out.select_columns(["doc_id"])
+
+
+def range_filter(sf_dir: str):
+    """query_string range + comparison clauses (``[a TO b]`` inclusive,
+    ``>=v`` one-sided) over events, bounds cast to the column's own
+    Arrow type — Lucene range-query semantics."""
+    from .query.parse import filter_by_query_string
+
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = filter_by_query_string(
+        ds,
+        "event_type:purchase AND value:[100 TO 250]"
+        " OR event_type:error AND value:>=320")
+    return out.select_columns(["event_id", "event_type"])
+
+
 def phrase_search(sf_dir: str, phrase: str = "spark merge"):
     """Phrase query over documents: posting intersection + adjacency
     verify (Q1 phrase surface)."""

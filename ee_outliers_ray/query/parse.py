@@ -35,7 +35,11 @@ import pyarrow.compute as pc
 from ..tokenizer import tokenize, tokenize_column
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|[^\s():]+:(?:"[^"]*"|[^\s()]+)|[^\s()]+)""")
+    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|"""
+    r"""[^\s():]+:(?:"[^"]*"|[\[{][^\]}]*[\]}]|[^\s()]+)|[^\s()]+)""")
+
+_RANGE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
+_CMP = re.compile(r"^(>=|<=|>|<)(.+)$")
 
 
 @dataclass
@@ -67,11 +71,7 @@ class Term(Node):
                 ids = d if ids is None else np.intersect1d(ids, d)
             if ids is None:
                 ids = np.array([], dtype=np.int64)
-            doc_ids = batch[ctx.id_col].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ids, doc_ids)
-            pos = np.minimum(pos, max(0, len(ids) - 1))
-            return (ids[pos] == doc_ids) if len(ids) else \
-                np.zeros(len(doc_ids), dtype=bool)
+            return _id_member_mask(ids, batch, ctx)
         # no index: scan the text column
         col = tokenize_column(batch[ctx.text_col])
         out = np.ones(batch.num_rows, dtype=bool)
@@ -145,6 +145,111 @@ class FieldMatch(Node):
             return per_row[: batch.num_rows] > 0
         s = pc.cast(col, pa.string())
         m = pc.equal(s, self.value)
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
+def _id_member_mask(ids: np.ndarray, batch, ctx) -> np.ndarray:
+    """Membership of batch[ctx.id_col] in the SORTED id array (the
+    broadcast semi-join used by all index-resolved clauses)."""
+    doc_ids = batch[ctx.id_col].to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return np.zeros(len(doc_ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(ids, doc_ids), len(ids) - 1)
+    return ids[pos] == doc_ids
+
+
+def _like_pattern(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE (``*``->%, ``?``->_), literal %/_
+    escaped."""
+    return (pattern.replace("%", r"\%").replace("_", r"\_")
+            .replace("*", "%").replace("?", "_"))
+
+
+@dataclass
+class Wildcard(Node):
+    """Full-text wildcard term (``inter*``, ``s?ark``) — ES query_string
+    passes these to Lucene's wildcard query (the reference forwards user
+    strings verbatim, /root/reference/app/helpers/es.py:238-250).  With
+    an index: term-dictionary expansion (sorted, clause-capped) and a
+    union of posting lists.  Without: vectorized LIKE over the batch's
+    tokenized text column."""
+    text: str
+
+    def mask(self, batch, ctx):
+        if ctx.reader is not None and ctx.id_col in batch.column_names:
+            arrs = []
+            for t in ctx.reader.terms_matching(self.text):
+                dec = ctx.reader.postings_decoded(t)
+                if dec is not None:
+                    arrs.append(dec[0])
+            ids = np.unique(np.concatenate(arrs)) if arrs else \
+                np.zeros(0, dtype=np.int64)
+            return _id_member_mask(ids, batch, ctx)
+        col = tokenize_column(batch[ctx.text_col])
+        flat = col.flatten()
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        hit = pc.match_like(flat, _like_pattern(self.text)) \
+            .to_numpy(zero_copy_only=False)
+        per_row = np.add.reduceat(
+            np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+        per_row[offsets[:-1] == offsets[1:]] = 0
+        return per_row[: batch.num_rows] > 0
+
+
+@dataclass
+class FieldWildcard(Node):
+    """``field:val*`` — whole-value LIKE on the (stringified) column."""
+    field: str
+    pattern: str
+
+    def mask(self, batch, ctx):
+        if self.field not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        col = batch[self.field]
+        like = _like_pattern(self.pattern)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = pc.cast(col.flatten(), pa.string())
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            hit = pc.match_like(flat, like).to_numpy(zero_copy_only=False)
+            per_row = np.add.reduceat(
+                np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+            per_row[offsets[:-1] == offsets[1:]] = 0
+            return per_row[: batch.num_rows] > 0
+        m = pc.match_like(pc.cast(col, pa.string()), like)
+        return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
+@dataclass
+class FieldRange(Node):
+    """``field:[a TO b]`` / ``{a TO b}`` / ``field:>=v`` — bounds cast to
+    the column's own type (numeric, timestamp, or string compare), ``*``
+    endpoint = unbounded.  Lucene range semantics: [] inclusive, {}
+    exclusive."""
+    field: str
+    lo: str | None
+    hi: str | None
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+    def _bound(self, col_type, s: str):
+        return pc.cast(pa.array([s]), col_type)[0]
+
+    def mask(self, batch, ctx):
+        if self.field not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        col = batch[self.field]
+        m = None
+        if self.lo is not None:
+            op = pc.greater_equal if self.lo_inc else pc.greater
+            m = op(col, self._bound(col.type, self.lo))
+        if self.hi is not None:
+            op = pc.less_equal if self.hi_inc else pc.less
+            hi = op(col, self._bound(col.type, self.hi))
+            m = hi if m is None else pc.and_(m, hi)
+        if m is None:
+            m = pc.is_valid(col)
         return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
 
 
@@ -297,11 +402,29 @@ class _Parser:
             return Phrase(t[1:-1])
         if ":" in t:
             field, _, value = t.partition(":")
+            r = _RANGE.match(value)
+            if r:
+                lo, hi = r.group(2), r.group(3)
+                return FieldRange(field,
+                                  None if lo == "*" else lo,
+                                  None if hi == "*" else hi,
+                                  lo_inc=r.group(1) == "[",
+                                  hi_inc=r.group(4) == "]")
+            c = _CMP.match(value)
+            if c:
+                op, v = c.group(1), c.group(2)
+                if op.startswith(">"):
+                    return FieldRange(field, v, None, lo_inc=op == ">=")
+                return FieldRange(field, None, v, hi_inc=op == "<=")
             if value.startswith('"') and value.endswith('"'):
                 value = value[1:-1]
             if field == "_exists_":
                 return Exists(value)
+            if "*" in value or "?" in value:
+                return FieldWildcard(field, value)
             return FieldMatch(field, value)
+        if "*" in t or "?" in t:
+            return Wildcard(t)
         return Term(t)
 
 

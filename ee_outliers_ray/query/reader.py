@@ -131,6 +131,43 @@ class IndexReader:
         run = self.postings(term)
         return run.n_postings if run is not None else 0
 
+    def terms_matching(self, pattern: str, limit: int = 1024) -> list[str]:
+        """Expand a Lucene wildcard pattern (``*`` = any run, ``?`` = one
+        char) against the index's term dictionary.
+
+        A trailing-``*`` prefix pattern reads only the prefix's term
+        range (parquet predicate pushdown over the term-sorted segment
+        row groups — terms are crc32-bucketed across directories, so
+        every bucket is range-scanned, but within each file only the
+        matching row groups decode).  Any other pattern scans the full
+        term column once.  Deterministic: the expansion is sorted.
+        Raises ``ValueError`` above ``limit`` distinct terms (the ES
+        ``max_clause_count`` analogue) — a bare ``*`` at web scale would
+        otherwise union the whole dictionary.
+        """
+        import pyarrow.compute as pc
+
+        paths = glob.glob(os.path.join(self.segments_dir, "**", "*.parquet"),
+                          recursive=True)
+        body = pattern[:-1] if pattern.endswith("*") else None
+        prefix = body if body and not any(c in "*?" for c in body) else None
+        filters = None
+        if prefix is not None:
+            # tokens are [a-z0-9]+ and 0x7f sorts above both ranges, so
+            # [prefix, prefix+\x7f) covers exactly the prefix interval
+            filters = [("term", ">=", prefix), ("term", "<", prefix + "\x7f")]
+        like = (pattern.replace("%", r"\%").replace("_", r"\_")
+                .replace("*", "%").replace("?", "_"))
+        out: set[str] = set()
+        for p in paths:
+            col = pq.read_table(p, columns=["term"], filters=filters)["term"]
+            hit = col.filter(pc.match_like(col, like))
+            out.update(hit.to_pylist())
+            if len(out) > limit:
+                raise ValueError(
+                    f"wildcard {pattern!r} expands to >{limit} terms")
+        return sorted(out)
+
     @property
     def has_positions(self) -> bool:
         if not hasattr(self, "_has_pos"):

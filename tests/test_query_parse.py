@@ -148,3 +148,85 @@ def test_parser_or_default_operator():
     # explicit AND overrides
     ast = parse_query_string("lang:en AND lang:fr")
     assert list(ast.mask(_batch(), CTX)) == [False, False, False, False]
+
+
+def test_wildcard_and_range_scan():
+    from ee_outliers_ray.query.parse import FieldRange, FieldWildcard, Wildcard
+
+    # full-text wildcard over the tokenized text column (no index)
+    ast = parse_query_string("sp*")
+    assert isinstance(ast, Wildcard)
+    assert list(ast.mask(_batch(), CTX)) == [True, False, True, False]
+    ast = parse_query_string("s?ow")  # ? = exactly one char
+    assert list(ast.mask(_batch(), CTX)) == [False, True, False, False]
+    # field wildcard: whole-value LIKE, incl. list columns
+    ast = parse_query_string("lang:e*")
+    assert isinstance(ast, FieldWildcard)
+    assert list(ast.mask(_batch(), CTX)) == [True, False, False, True]
+    ast = parse_query_string("tags:end*")
+    assert list(ast.mask(_batch(), CTX)) == [True, False, True, False]
+    # numeric ranges: [] inclusive, {} exclusive, one-sided, * unbounded
+    ast = parse_query_string("port:[80 TO 443]")
+    assert isinstance(ast, FieldRange)
+    assert list(ast.mask(_batch(), CTX)) == [False, True, True, False]
+    ast = parse_query_string("port:{80 TO 443]")
+    assert list(ast.mask(_batch(), CTX)) == [False, True, False, False]
+    ast = parse_query_string("port:>=443")
+    assert list(ast.mask(_batch(), CTX)) == [False, True, False, False]
+    ast = parse_query_string("port:<80")
+    assert list(ast.mask(_batch(), CTX)) == [True, False, False, True]
+    ast = parse_query_string("port:[443 TO *]")
+    assert list(ast.mask(_batch(), CTX)) == [False, True, False, False]
+    # string range on a varchar column
+    ast = parse_query_string("lang:[en TO fr}")
+    assert list(ast.mask(_batch(), CTX)) == [True, False, False, True]
+    # missing column -> matches nothing (ES: unmapped field)
+    ast = parse_query_string("nope:[1 TO 2]")
+    assert list(ast.mask(_batch(), CTX)) == [False] * 4
+
+
+def test_timestamp_range():
+    b = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array([np.datetime64("2026-01-01 06:00:00", "us"),
+                        np.datetime64("2026-02-01 00:00:00", "us"),
+                        np.datetime64("2026-03-01 00:00:00", "us")]),
+    })
+    ast = parse_query_string("ts:[2026-01-01 TO 2026-02-15]")
+    assert list(ast.mask(b, CTX)) == [True, True, False]
+
+
+def test_index_backed_wildcard(tmp_path):
+    """Index expansion path must equal the tokenized-scan path."""
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.reader import IndexReader
+
+    rng = np.random.default_rng(7)
+    vocab = ["scan", "scatter", "spark", "shark", "merge", "table", "s"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 6)))
+             for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=16)
+    reader = IndexReader(idx)
+    # expansion is sorted + deduped across segment part rows
+    assert reader.terms_matching("sc*") == ["scan", "scatter"]
+    assert reader.terms_matching("s?ark") == ["shark", "spark"]
+    assert reader.terms_matching("zzz*") == []
+    with pytest.raises(ValueError):
+        reader.terms_matching("*", limit=3)
+    ds = ray.data.read_parquet(src)
+    def ids(out):
+        df = out.to_pandas()
+        return sorted(df["doc_id"]) if "doc_id" in df.columns else []
+
+    for q in ("sc*", "s?ark OR merge", "sc* AND -scatter", "zzz*"):
+        with_idx = ids(filter_by_query_string(ds, q, reader=reader))
+        scan = ids(filter_by_query_string(ds, q, reader=None))
+        assert with_idx == scan, q
+        if q == "sc*":
+            assert len(with_idx) > 0
