@@ -968,6 +968,19 @@ def wildcard_search(sf_dir: str, query: str = "sc* OR s?ark"):
     return out.select_columns(["doc_id"])
 
 
+def fuzzy_search(sf_dir: str, query: str = "spark~1"):
+    """Lucene fuzzy term (``term~N``) resolved through the index's term
+    dictionary with a vectorized Levenshtein DP (query/fuzzy.py) and a
+    posting-list union — semantics pinned to DuckDB ``levenshtein()``."""
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, query, reader=reader)
+    return out.select_columns(["doc_id"])
+
+
 def range_filter(sf_dir: str):
     """query_string range + comparison clauses (``[a TO b]`` inclusive,
     ``>=v`` one-sided) over events, bounds cast to the column's own

@@ -158,6 +158,26 @@ def _id_member_mask(ids: np.ndarray, batch, ctx) -> np.ndarray:
     return ids[pos] == doc_ids
 
 
+def _union_postings(reader, terms: list[str]) -> np.ndarray:
+    """Sorted unique doc_ids appearing in ANY of the expanded terms."""
+    arrs = []
+    for t in terms:
+        dec = reader.postings_decoded(t)
+        if dec is not None:
+            arrs.append(dec[0])
+    return np.unique(np.concatenate(arrs)) if arrs else \
+        np.zeros(0, dtype=np.int64)
+
+
+def _token_hit_mask(col, hit: np.ndarray, num_rows: int) -> np.ndarray:
+    """Per-row any(token matched) from a flat per-token hit vector."""
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    per_row = np.add.reduceat(
+        np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
+    per_row[offsets[:-1] == offsets[1:]] = 0
+    return per_row[:num_rows] > 0
+
+
 def _like_pattern(pattern: str) -> str:
     """Lucene wildcard -> SQL LIKE (``*``->%, ``?``->_), literal %/_
     escaped."""
@@ -177,23 +197,40 @@ class Wildcard(Node):
 
     def mask(self, batch, ctx):
         if ctx.reader is not None and ctx.id_col in batch.column_names:
-            arrs = []
-            for t in ctx.reader.terms_matching(self.text):
-                dec = ctx.reader.postings_decoded(t)
-                if dec is not None:
-                    arrs.append(dec[0])
-            ids = np.unique(np.concatenate(arrs)) if arrs else \
-                np.zeros(0, dtype=np.int64)
+            ids = _union_postings(ctx.reader,
+                                  ctx.reader.terms_matching(self.text))
+            return _id_member_mask(ids, batch, ctx)
+        col = tokenize_column(batch[ctx.text_col])
+        hit = pc.match_like(col.flatten(), _like_pattern(self.text)) \
+            .to_numpy(zero_copy_only=False)
+        return _token_hit_mask(col, hit, batch.num_rows)
+
+
+@dataclass
+class Fuzzy(Node):
+    """Lucene fuzzy term ``term~N`` (bare ``~`` = 2, Lucene's AUTO cap):
+    every term within N Levenshtein edits matches.  With an index:
+    dictionary expansion via the vectorized DP (query/fuzzy.py) + a
+    posting-list union.  Without: distances computed once per DISTINCT
+    token in the batch, then mapped back by membership."""
+    text: str
+    max_dist: int = 2
+
+    def mask(self, batch, ctx):
+        from .fuzzy import levenshtein_within
+
+        if ctx.reader is not None and ctx.id_col in batch.column_names:
+            ids = _union_postings(
+                ctx.reader, ctx.reader.terms_fuzzy(self.text, self.max_dist))
             return _id_member_mask(ids, batch, ctx)
         col = tokenize_column(batch[ctx.text_col])
         flat = col.flatten()
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        hit = pc.match_like(flat, _like_pattern(self.text)) \
-            .to_numpy(zero_copy_only=False)
-        per_row = np.add.reduceat(
-            np.concatenate([hit.astype(np.int64), [0]]), offsets[:-1])
-        per_row[offsets[:-1] == offsets[1:]] = 0
-        return per_row[: batch.num_rows] > 0
+        uniq = pc.unique(flat)
+        u = uniq.to_pylist()
+        good = uniq.filter(pa.array(levenshtein_within(
+            self.text, u, self.max_dist)))
+        hit = pc.is_in(flat, value_set=good).to_numpy(zero_copy_only=False)
+        return _token_hit_mask(col, hit, batch.num_rows)
 
 
 @dataclass
@@ -425,6 +462,10 @@ class _Parser:
             return FieldMatch(field, value)
         if "*" in t or "?" in t:
             return Wildcard(t)
+        f = re.match(r"^([^~]+)~(\d*)$", t)
+        if f:
+            return Fuzzy(f.group(1),
+                         int(f.group(2)) if f.group(2) else 2)
         return Term(t)
 
 

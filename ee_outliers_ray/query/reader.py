@@ -168,6 +168,26 @@ class IndexReader:
                     f"wildcard {pattern!r} expands to >{limit} terms")
         return sorted(out)
 
+    def terms_fuzzy(self, term: str, max_dist: int,
+                    limit: int = 1024) -> list[str]:
+        """Expand a Lucene fuzzy term (``term~N``) against the term
+        dictionary: every indexed term within ``max_dist`` Levenshtein
+        edits (vectorized DP across candidates, query/fuzzy.py).  Sorted,
+        deterministic, clause-capped like ``terms_matching``."""
+        from .fuzzy import levenshtein_within
+
+        paths = glob.glob(os.path.join(self.segments_dir, "**", "*.parquet"),
+                          recursive=True)
+        out: set[str] = set()
+        for p in paths:
+            cands = pq.read_table(p, columns=["term"])["term"].to_pylist()
+            hit = levenshtein_within(term, cands, max_dist)
+            out.update(c for c, h in zip(cands, hit) if h)
+            if len(out) > limit:
+                raise ValueError(
+                    f"fuzzy {term!r}~{max_dist} expands to >{limit} terms")
+        return sorted(out)
+
     @property
     def has_positions(self) -> bool:
         if not hasattr(self, "_has_pos"):

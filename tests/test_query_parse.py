@@ -230,3 +230,60 @@ def test_index_backed_wildcard(tmp_path):
         assert with_idx == scan, q
         if q == "sc*":
             assert len(with_idx) > 0
+
+
+def test_fuzzy_kernel_matches_pure_python():
+    from ee_outliers_ray.query.fuzzy import levenshtein_within
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = np.random.default_rng(3)
+    alpha = list("ab01")
+    for _ in range(120):
+        q = "".join(rng.choice(alpha, size=rng.integers(0, 7)))
+        cands = ["".join(rng.choice(alpha, size=rng.integers(0, 7)))
+                 for _ in range(13)]
+        for d in (0, 1, 2):
+            got = levenshtein_within(q, cands, d)
+            exp = np.array([ref(q, c) <= d for c in cands])
+            assert (got == exp).all(), (q, cands, d)
+
+
+def test_fuzzy_scan_and_index(tmp_path):
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.parse import Fuzzy
+    from ee_outliers_ray.query.reader import IndexReader
+
+    b = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["spark merge", "shark attack", "sparkle dust", "merge"],
+    })
+    ast = parse_query_string("spark~1")
+    assert isinstance(ast, Fuzzy) and ast.max_dist == 1
+    # spark(0), shark(1 sub); sparkle is distance 2 -> out
+    assert list(ast.mask(b, CTX)) == [True, True, False, False]
+    ast = parse_query_string("spark~")  # bare ~ = 2 (Lucene AUTO cap)
+    assert ast.max_dist == 2
+    assert list(ast.mask(b, CTX)) == [True, True, True, False]
+
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(b, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=2)
+    reader = IndexReader(idx)
+    assert reader.terms_fuzzy("spark", 1) == ["shark", "spark"]
+    with pytest.raises(ValueError):
+        reader.terms_fuzzy("spark", 30, limit=3)
+    ds = ray.data.read_parquet(src)
+    out = filter_by_query_string(ds, "spark~1 AND -attack", reader=reader,
+                                 default_operator="and").to_pandas()
+    assert sorted(out["doc_id"]) == [0]
