@@ -493,11 +493,62 @@ def parse_query_string(q: str, default_operator: str = "or") -> Node:
     return node
 
 
+@dataclass
+class IdSet(Node):
+    """A clause pre-resolved (on the driver, once) to a sorted doc_id
+    array — the shipped side of the broadcast semi-join."""
+    ids: np.ndarray
+
+    def mask(self, batch, ctx):
+        return _id_member_mask(self.ids, batch, ctx)
+
+
+def preresolve_index_clauses(node: Node, reader) -> Node:
+    """Resolve every index-answerable clause to an ``IdSet`` ONCE on the
+    driver, so the distributed filter ships compact sorted id arrays
+    instead of an ``IndexReader`` (whose term-dictionary scans and
+    posting fetches would otherwise repeat inside every map task).
+    ``Phrase`` pre-resolves only on a positional index; otherwise it
+    keeps its per-batch text-adjacency verify."""
+    if isinstance(node, Term):
+        ids = None
+        for t in tokenize(node.text):
+            dec = reader.postings_decoded(t)
+            d = dec[0] if dec is not None else np.zeros(0, dtype=np.int64)
+            ids = d if ids is None else np.intersect1d(ids, d)
+        return IdSet(ids if ids is not None else np.zeros(0, dtype=np.int64))
+    if isinstance(node, Wildcard):
+        return IdSet(_union_postings(reader,
+                                     reader.terms_matching(node.text)))
+    if isinstance(node, Fuzzy):
+        return IdSet(_union_postings(
+            reader, reader.terms_fuzzy(node.text, node.max_dist)))
+    if isinstance(node, Phrase) and getattr(reader, "has_positions", False):
+        return IdSet(_phrase_docs_from_positions(reader,
+                                                 tokenize(node.text)))
+    if isinstance(node, Not):
+        return Not(preresolve_index_clauses(node.child, reader))
+    if isinstance(node, (And, Or)):
+        kids = [preresolve_index_clauses(c, reader) for c in node.children]
+        return type(node)(kids)
+    return node
+
+
 def filter_by_query_string(ds, query: str, *, reader=None,
                            text_col: str = "text", id_col: str = "doc_id",
                            default_operator: str = "or"):
-    """Q1 as a pure filter: streaming map_batches mask over the corpus."""
+    """Q1 as a pure filter: streaming map_batches mask over the corpus.
+
+    With a ``reader``, index-answerable clauses are resolved driver-side
+    to sorted id arrays (``preresolve_index_clauses``) when the dataset
+    carries ``id_col`` — the map tasks then evaluate pure vectorized
+    membership, never touching the index."""
     ast = parse_query_string(query, default_operator)
+    if reader is not None:
+        names = ds.schema().names if hasattr(ds, "schema") else []
+        if id_col in names:
+            ast = preresolve_index_clauses(ast, reader)
+            reader = None  # nothing left needs it; don't ship it
     ctx = EvalCtx(reader=reader, text_col=text_col, id_col=id_col)
 
     def f(b: pa.Table) -> pa.Table:
