@@ -178,3 +178,28 @@ def test_sharded_service_under_deletes(tmp_path):
     assert svc.avgdl == reader.avgdl
     for q in ["the data", "w0042", "the", "fast merge w0007"]:
         assert svc.topk(q, k=10) == taat_topk(reader, q, k=10), q
+
+
+def test_wildcard_and_fuzzy_respect_tombstones(corpus, tmp_path):
+    """Dictionary-expanded clauses (wildcard/fuzzy) must see the same
+    tombstone-filtered postings as plain terms: after a delete, the
+    expanded union equals the same query against a rebuilt index."""
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, num_buckets=8, batch_size=200, overwrite=True)
+    r0 = IndexReader(idx)
+    base_terms = r0.terms_matching("th*")
+    assert base_terms  # 'the' at minimum
+
+    from ee_outliers_ray.query.parse import _union_postings
+    ids_before = _union_postings(r0, base_terms)
+    drop = ids_before[:3]
+    delete_from_index(idx, drop)
+    r1 = IndexReader(idx)  # readers are per-index-version
+    ids_after = _union_postings(r1, r1.terms_matching("th*"))
+    assert not np.intersect1d(ids_after, drop).size
+    assert np.array_equal(ids_after, np.setdiff1d(ids_before, drop))
+    # fuzzy expansion goes through the same filtered postings
+    fz = r1.terms_fuzzy("the", 1)
+    assert "the" in fz
+    ids_fz = _union_postings(r1, fz)
+    assert not np.intersect1d(ids_fz, drop).size
