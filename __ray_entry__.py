@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": P.phrase_search,
         "wildcard_search": P.wildcard_search,
         "fuzzy_search": P.fuzzy_search,
+        "regexp_search": P.regexp_search,
         "range_filter": P.range_filter,
         "word2vec_outliers": P.word2vec_outliers,
         "word2vec_prob_scores": P.word2vec_prob_scores,
@@ -424,6 +425,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(regexp_extract_all(lower(text),
                       '[a-z0-9]+'),
                       t -> levenshtein(t, 'spark') <= 1)) > 0""",
+        "regexp_search": r"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(regexp_extract_all(lower(text),
+                      '[a-z0-9]+'),
+                      t -> regexp_full_match(t, 's(can|park)'))) > 0""",
         "range_filter": """
             SELECT event_id, event_type FROM events
             WHERE (event_type = 'purchase' AND value BETWEEN 100 AND 250)

@@ -981,6 +981,19 @@ def fuzzy_search(sf_dir: str, query: str = "spark~1"):
     return out.select_columns(["doc_id"])
 
 
+def regexp_search(sf_dir: str, query: str = "/s(can|park)/"):
+    """Lucene regexp term (``/pattern/``, full-match) resolved through
+    the index's term dictionary — RE2 on both engine (Arrow) and oracle
+    (DuckDB regexp_full_match)."""
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, query, reader=reader)
+    return out.select_columns(["doc_id"])
+
+
 def range_filter(sf_dir: str):
     """query_string range + comparison clauses (``[a TO b]`` inclusive,
     ``>=v`` one-sided) over events, bounds cast to the column's own

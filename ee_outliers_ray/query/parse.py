@@ -35,8 +35,8 @@ import pyarrow.compute as pc
 from ..tokenizer import tokenize, tokenize_column
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|"""
-    r"""[^\s():]+:(?:"[^"]*"|[\[{][^\]}]*[\]}]|[^\s()]+)|[^\s()]+)""")
+    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|/[^/]*/|"""
+    r"""[^\s():]+:(?:"[^"]*"|[\[{][^\]}]*[\]}]|/[^/]*/|[^\s()]+)|[^\s()]+)""")
 
 _RANGE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
 _CMP = re.compile(r"^(>=|<=|>|<)(.+)$")
@@ -230,6 +230,32 @@ class Fuzzy(Node):
         good = uniq.filter(pa.array(levenshtein_within(
             self.text, u, self.max_dist)))
         hit = pc.is_in(flat, value_set=good).to_numpy(zero_copy_only=False)
+        return _token_hit_mask(col, hit, batch.num_rows)
+
+
+@dataclass
+class Regexp(Node):
+    """Lucene regexp term ``/pattern/`` — full-match against each token
+    (or, for ``field:/pattern/``, the whole field value).  RE2 dialect on
+    both the engine (Arrow) and the oracle (DuckDB regexp_full_match)."""
+    pattern: str
+    field: str | None = None
+
+    def mask(self, batch, ctx):
+        rx = f"^(?:{self.pattern})$"
+        if self.field is not None:
+            if self.field not in batch.column_names:
+                return np.zeros(batch.num_rows, dtype=bool)
+            m = pc.match_substring_regex(
+                pc.cast(batch[self.field], pa.string()), rx)
+            return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+        if ctx.reader is not None and ctx.id_col in batch.column_names:
+            ids = _union_postings(ctx.reader,
+                                  ctx.reader.terms_regex(self.pattern))
+            return _id_member_mask(ids, batch, ctx)
+        col = tokenize_column(batch[ctx.text_col])
+        hit = pc.match_substring_regex(col.flatten(), rx) \
+            .to_numpy(zero_copy_only=False)
         return _token_hit_mask(col, hit, batch.num_rows)
 
 
@@ -437,8 +463,13 @@ class _Parser:
             return And([])
         if t.startswith('"') and t.endswith('"'):
             return Phrase(t[1:-1])
+        if len(t) >= 2 and t.startswith("/") and t.endswith("/"):
+            return Regexp(t[1:-1])
         if ":" in t:
             field, _, value = t.partition(":")
+            if len(value) >= 2 and value.startswith("/") \
+                    and value.endswith("/"):
+                return Regexp(value[1:-1], field=field)
             r = _RANGE.match(value)
             if r:
                 lo, hi = r.group(2), r.group(3)
@@ -523,6 +554,9 @@ def preresolve_index_clauses(node: Node, reader) -> Node:
     if isinstance(node, Fuzzy):
         return IdSet(_union_postings(
             reader, reader.terms_fuzzy(node.text, node.max_dist)))
+    if isinstance(node, Regexp) and node.field is None:
+        return IdSet(_union_postings(reader,
+                                     reader.terms_regex(node.pattern)))
     if isinstance(node, Phrase) and getattr(reader, "has_positions", False):
         return IdSet(_phrase_docs_from_positions(reader,
                                                  tokenize(node.text)))

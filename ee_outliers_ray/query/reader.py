@@ -168,6 +168,26 @@ class IndexReader:
                     f"wildcard {pattern!r} expands to >{limit} terms")
         return sorted(out)
 
+    def terms_regex(self, pattern: str, limit: int = 1024) -> list[str]:
+        """Expand a Lucene regexp term (``/pattern/``, full-match
+        semantics) against the term dictionary — RE2 via Arrow, matching
+        DuckDB ``regexp_full_match`` in the oracle.  Sorted, clause-
+        capped like ``terms_matching``."""
+        import pyarrow.compute as pc
+
+        paths = glob.glob(os.path.join(self.segments_dir, "**", "*.parquet"),
+                          recursive=True)
+        rx = f"^(?:{pattern})$"
+        out: set[str] = set()
+        for p in paths:
+            col = pq.read_table(p, columns=["term"])["term"]
+            hit = col.filter(pc.match_substring_regex(col, rx))
+            out.update(hit.to_pylist())
+            if len(out) > limit:
+                raise ValueError(
+                    f"regexp /{pattern}/ expands to >{limit} terms")
+        return sorted(out)
+
     def terms_fuzzy(self, term: str, max_dist: int,
                     limit: int = 1024) -> list[str]:
         """Expand a Lucene fuzzy term (``term~N``) against the term

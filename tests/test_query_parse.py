@@ -287,3 +287,37 @@ def test_fuzzy_scan_and_index(tmp_path):
     out = filter_by_query_string(ds, "spark~1 AND -attack", reader=reader,
                                  default_operator="and").to_pandas()
     assert sorted(out["doc_id"]) == [0]
+
+
+def test_regexp_scan_and_index(tmp_path):
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.parse import Regexp
+    from ee_outliers_ray.query.reader import IndexReader
+
+    b = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": ["spark merge", "spook", "slow scan", ""],
+        "lang": ["en", "fr", None, "en"],
+    })
+    ast = parse_query_string("/sp[a-z]+k/")
+    assert isinstance(ast, Regexp)
+    # FULL-match semantics: 'spark'/'spook' yes, 'scan' no
+    assert list(ast.mask(b, CTX)) == [True, True, False, False]
+    ast = parse_query_string("lang:/e./")  # whole-field regex
+    assert list(ast.mask(b, CTX)) == [True, False, False, True]
+
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(b, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=2)
+    reader = IndexReader(idx)
+    assert reader.terms_regex("sp[a-z]+k") == ["spark", "spook"]
+    with pytest.raises(ValueError):
+        reader.terms_regex("[a-z]+", limit=2)
+    ds = ray.data.read_parquet(src)
+    out = filter_by_query_string(ds, "/s(park|can)/ AND -lang:fr",
+                                 reader=reader,
+                                 default_operator="and").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
