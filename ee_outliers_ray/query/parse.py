@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..tokenizer import tokenize, tokenize_column
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|"[^"]*"|/[^/]*/|"""
+    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|\+|"[^"]*"|/[^/]*/|"""
     r"""[^\s():]+:(?:"[^"]*"|[\[{][^\]}]*[\]}]|/[^/]*/|[^\s()]+)|[^\s()]+)""")
 
 _RANGE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
@@ -427,22 +427,47 @@ class _Parser:
         return children[0] if len(children) == 1 else Or(children)
 
     def parse_and(self) -> Node:
-        children = [self.parse_unary()]
+        """One boolean group (between OR connectors): occurrence flags
+        follow ES query_string filter-context semantics — ``+`` / an
+        explicit AND neighbor / default_operator=and make a clause
+        REQUIRED, ``-``/NOT make it PROHIBITED, bare clauses under
+        default OR are SHOULD.  A document matches when every required
+        clause matches, no prohibited clause matches, and (only when no
+        required clause exists) at least one should clause matches."""
+        items = [self._grab()]
         while True:
             t = self.peek()
             if t == "AND":
                 self.next()
-                children.append(self.parse_unary())
+                # classic Lucene: AND binds BOTH neighbors to required
+                n, f = items[-1]
+                if f == "should":
+                    items[-1] = (n, "must")
+                items.append(self._grab(force_must=True))
             elif t is not None and t not in (")", "OR"):
-                if self.default_op == "and":
-                    children.append(self.parse_unary())
-                else:
-                    break
+                items.append(self._grab())
             else:
                 break
-        if len(children) == 1:
-            return children[0]
-        return And(children)
+        if len(items) == 1:
+            return items[0][0]
+        musts = [n for n, f in items if f == "must"]
+        nots = [n for n, f in items if f == "must_not"]
+        shoulds = [n for n, f in items if f == "should"]
+        children = musts + nots
+        if shoulds and not musts:
+            children.append(shoulds[0] if len(shoulds) == 1
+                            else Or(shoulds))
+        return children[0] if len(children) == 1 else And(children)
+
+    def _grab(self, force_must: bool = False) -> tuple[Node, str]:
+        must = force_must or self.default_op == "and"
+        if self.peek() == "+":
+            self.next()
+            must = True
+        node = self.parse_unary()
+        if isinstance(node, Not):
+            return node, "must_not"
+        return node, "must" if must else "should"
 
     def parse_unary(self) -> Node:
         t = self.peek()

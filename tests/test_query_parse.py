@@ -321,3 +321,22 @@ def test_regexp_scan_and_index(tmp_path):
                                  reader=reader,
                                  default_operator="and").to_pandas()
     assert sorted(out["doc_id"]) == [0, 2]
+
+
+def test_occurrence_flags_es_semantics():
+    """ES query_string filter-context occurrence rules: '+' = required,
+    '-' = prohibited (even under default OR), bare = should; shoulds
+    only gate matching when no required clause exists; an explicit AND
+    requires BOTH neighbors (classic Lucene promotion)."""
+    cases = [
+        ("spark -merge", "or", [False, False, True, False]),
+        ("+spark merge", "or", [True, False, True, False]),
+        ("spark merge", "or", [True, True, True, False]),
+        ("spark AND merge fast", "or", [True, False, False, False]),
+        ("-spark", "or", [False, True, False, True]),
+        ("+lang:en +spark", "or", [True, False, False, False]),
+        ("spark -merge", "and", [False, False, True, False]),
+    ]
+    for q, op, exp in cases:
+        got = list(parse_query_string(q, op).mask(_batch(), CTX))
+        assert got == exp, (q, op, got, exp)
