@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": P.asof_join_events,
         "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
+        "phrase_slop_search": P.phrase_slop_search,
         "wildcard_search": P.wildcard_search,
         "fuzzy_search": P.fuzzy_search,
         "regexp_search": P.regexp_search,
@@ -425,6 +426,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(regexp_extract_all(lower(text),
                       '[a-z0-9]+'),
                       t -> levenshtein(t, 'spark') <= 1)) > 0""",
+        "phrase_slop_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS t,
+                       generate_subscripts(regexp_extract_all(lower(text),
+                              '[a-z0-9]+'), 1) AS pos
+                FROM documents)
+            SELECT DISTINCT a.doc_id FROM toks a JOIN toks b USING (doc_id)
+            WHERE a.t = 'spark' AND b.t = 'merge'
+              AND abs(b.pos - a.pos - 1) <= 1""",
         "regexp_search": r"""
             SELECT doc_id FROM documents
             WHERE len(list_filter(regexp_extract_all(lower(text),

@@ -1020,6 +1020,19 @@ def phrase_search(sf_dir: str, phrase: str = "spark merge"):
     return out.select_columns(["doc_id"])
 
 
+def phrase_slop_search(sf_dir: str, phrase: str = "spark merge",
+                       slop: int = 1):
+    """Sloppy phrase ("a b"~N, Lucene 2-term slop metric |p1-p0-1|<=N)
+    over documents — oracled against DuckDB token positions."""
+    from .query.parse import filter_by_query_string
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = filter_by_query_string(ds, f'"{phrase}"~{slop}', reader=reader)
+    return out.select_columns(["doc_id"])
+
+
 def word2vec_outliers(sf_dir: str, limit: int = 200):
     """word2vec model over a deterministic slice of documents (rows-only:
     iterative model training is not SQL-expressible)."""

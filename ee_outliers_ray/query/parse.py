@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..tokenizer import tokenize, tokenize_column
 
 _TOKEN_SPLIT = re.compile(
-    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|\+|"[^"]*"|/[^/]*/|"""
+    r"""\s*(\(|\)|AND\b|OR\b|NOT\b|-|\+|"[^"]*"(?:~\d+)?|/[^/]*/|"""
     r"""[^\s():]+:(?:"[^"]*"|[\[{][^\]}]*[\]}]|/[^/]*/|[^\s()]+)|[^\s()]+)""")
 
 _RANGE = re.compile(r"^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$")
@@ -92,7 +92,15 @@ class Term(Node):
 
 @dataclass
 class Phrase(Node):
+    """Exact (``"a b"``) or sloppy (``"a b"~N``) phrase.  Slop semantics:
+    term i must occur within N positions of its expected slot (anchor of
+    term 0 + i) — for two terms this is exactly Lucene's sloppy-phrase
+    metric (``|p1 - p0 - 1| <= N``; a transposition costs 2); for longer
+    phrases it is the documented anchor-displacement variant (Lucene's
+    n-term repositioning algorithm differs in rare multi-occurrence
+    corners)."""
     text: str
+    slop: int = 0
 
     def mask(self, batch, ctx):
         toks = tokenize(self.text)
@@ -103,25 +111,40 @@ class Phrase(Node):
             return cand
         if ctx.reader is not None and getattr(ctx.reader, "has_positions", False) \
                 and ctx.id_col in batch.column_names:
-            # index-native phrase: positional adjacency, no text access
-            phrase_docs = _phrase_docs_from_positions(ctx.reader, toks)
+            # index-native phrase: positional windows, no text access
+            phrase_docs = _phrase_docs_from_positions(ctx.reader, toks,
+                                                      self.slop)
             doc_ids = batch[ctx.id_col].to_numpy(zero_copy_only=False)
             if len(phrase_docs) == 0:
                 return np.zeros(len(doc_ids), dtype=bool)
             pos = np.minimum(np.searchsorted(phrase_docs, doc_ids),
                              len(phrase_docs) - 1)
             return cand & (phrase_docs[pos] == doc_ids)
-        # verify adjacency against the batch's own text
+        # verify positions against the batch's own text
         texts = batch[ctx.text_col].to_pylist()
         out = np.zeros(batch.num_rows, dtype=bool)
         for i in np.flatnonzero(cand):
-            dt = tokenize(texts[i])
-            out[i] = any(dt[j: j + len(toks)] == toks
-                         for j in range(len(dt) - len(toks) + 1))
+            dt = np.asarray(tokenize(texts[i]), dtype=object)
+            out[i] = _slop_match(
+                [np.flatnonzero(dt == t) for t in toks], self.slop)
         return out
 
     def terms(self):
         return tokenize(self.text)
+
+
+def _slop_match(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """True when some anchor occurrence of term 0 has every later term i
+    within ``slop`` of position anchor + i (sorted position arrays)."""
+    anchors = pos_lists[0].astype(np.int64)
+    ok = np.ones(len(anchors), dtype=bool)
+    for i, p in enumerate(pos_lists[1:], 1):
+        if not len(p):
+            return False
+        lo = np.searchsorted(p, anchors + i - slop, side="left")
+        ok &= (lo < len(p)) & \
+            (p[np.minimum(lo, len(p) - 1)] <= anchors + i + slop)
+    return bool(ok.any())
 
 
 @dataclass
@@ -371,10 +394,12 @@ class Or(Node):
         return [t for c in self.children for t in c.terms()]
 
 
-def _phrase_docs_from_positions(reader, toks: list[str]) -> np.ndarray:
-    """Sorted doc_ids containing the token sequence adjacently, computed
-    from the positional index: intersect per-term doc sets, then check
-    per-doc that positions(t0)+i intersects positions(t_i) for every i."""
+def _phrase_docs_from_positions(reader, toks: list[str],
+                                slop: int = 0) -> np.ndarray:
+    """Sorted doc_ids matching the phrase (within ``slop``), computed
+    from the positional index: intersect per-term doc sets, then run the
+    anchor-window check (``_slop_match``) over each candidate's position
+    lists."""
     per_term = []
     for t in toks:
         p = reader.positions(t)
@@ -389,14 +414,11 @@ def _phrase_docs_from_positions(reader, toks: list[str]) -> np.ndarray:
         cand = np.intersect1d(cand, d)
     out = []
     for doc in cand:
-        base = None
-        for i, (d, starts, flat) in enumerate(per_term):
+        pos_lists = []
+        for d, starts, flat in per_term:
             j = int(np.searchsorted(d, doc))
-            pos = flat[starts[j]:starts[j + 1]].astype(np.int64) - i
-            base = pos if base is None else np.intersect1d(base, pos)
-            if len(base) == 0:
-                break
-        if base is not None and len(base):
+            pos_lists.append(flat[starts[j]:starts[j + 1]].astype(np.int64))
+        if _slop_match(pos_lists, slop):
             out.append(int(doc))
     return np.asarray(out, dtype=np.int64)
 
@@ -486,8 +508,11 @@ class _Parser:
         t = self.next()
         if t is None:
             return And([])
-        if t.startswith('"') and t.endswith('"'):
-            return Phrase(t[1:-1])
+        if t.startswith('"'):
+            m = re.match(r'^"([^"]*)"(?:~(\d+))?$', t)
+            if m:
+                return Phrase(m.group(1),
+                              slop=int(m.group(2)) if m.group(2) else 0)
         if len(t) >= 2 and t.startswith("/") and t.endswith("/"):
             return Regexp(t[1:-1])
         if ":" in t:
@@ -584,7 +609,8 @@ def preresolve_index_clauses(node: Node, reader) -> Node:
                                      reader.terms_regex(node.pattern)))
     if isinstance(node, Phrase) and getattr(reader, "has_positions", False):
         return IdSet(_phrase_docs_from_positions(reader,
-                                                 tokenize(node.text)))
+                                                 tokenize(node.text),
+                                                 node.slop))
     if isinstance(node, Not):
         return Not(preresolve_index_clauses(node.child, reader))
     if isinstance(node, (And, Or)):

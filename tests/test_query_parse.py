@@ -340,3 +340,39 @@ def test_occurrence_flags_es_semantics():
     for q, op, exp in cases:
         got = list(parse_query_string(q, op).mask(_batch(), CTX))
         assert got == exp, (q, op, got, exp)
+
+
+def test_sloppy_phrase_scan_and_positions(tmp_path):
+    """Sloppy phrase "a b"~N: Lucene 2-term metric |p1-p0-1| <= N
+    (transposition costs 2), identical via the positional index and the
+    tokenized-text scan path."""
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.parse import Phrase
+    from ee_outliers_ray.query.reader import IndexReader
+
+    b = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": ["spark merge", "spark fast merge", "merge spark",
+                 "spark a b merge", "spark", ""],
+    })
+    expect = {'"spark merge"': [0], '"spark merge"~1': [0, 1],
+              '"spark merge"~2': [0, 1, 2, 3]}
+    for q, exp in expect.items():
+        ast = parse_query_string(q)
+        assert isinstance(ast, Phrase)
+        got = [int(i) for i in np.flatnonzero(ast.mask(b, CTX))]
+        assert got == exp, (q, got, exp)
+
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(b, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=2,
+                store_positions=True)
+    reader = IndexReader(idx)
+    assert reader.has_positions
+    ds = ray.data.read_parquet(src)
+    for q, exp in expect.items():
+        out = filter_by_query_string(ds, q, reader=reader).to_pandas()
+        assert sorted(out["doc_id"]) == exp, (q, "positional path")
