@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": P.term_df,
         "index_append_term_df": P.index_append_term_df,
         "term_cf": P.term_cf,
+        "rare_term_docs": P.rare_term_docs,
         "top_terms": P.top_terms,
         "corpus_stats": P.corpus_stats,
         "bm25_topk": P.bm25_topk,
@@ -426,6 +427,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_filter(regexp_extract_all(lower(text),
                       '[a-z0-9]+'),
                       t -> levenshtein(t, 'spark') <= 1)) > 0""",
+        "rare_term_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z0-9]+')) AS t
+                FROM documents),
+            dt AS (SELECT DISTINCT doc_id, t FROM toks),
+            dfs AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+            rare AS (SELECT t FROM dfs ORDER BY df ASC, t ASC LIMIT 3)
+            SELECT dt.doc_id, count(*) AS n_rare
+            FROM dt JOIN rare USING (t) GROUP BY dt.doc_id""",
         "phrase_slop_search": r"""
             WITH toks AS (
                 SELECT doc_id,

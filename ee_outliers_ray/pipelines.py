@@ -1033,6 +1033,31 @@ def phrase_slop_search(sf_dir: str, phrase: str = "spark merge",
     return out.select_columns(["doc_id"])
 
 
+def rare_term_docs(sf_dir: str, k: int = 3):
+    """Index-backed rarity scoring (the north-star replacement for the
+    reference's ES-side rare-term outlier models): the k rarest terms
+    come from segment METADATA df (no posting decode), and each matching
+    doc is scored by how many distinct rare terms it contains (posting-
+    list union + bincount)."""
+    from .index.codec import decode_run
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    rare = reader.rarest_terms(k)
+    ids = []
+    for t, _df in rare:
+        run = reader.postings(t)
+        if run is not None:
+            ids.append(decode_run(run)[0])
+    if not ids:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "n_rare": pd.Series(dtype=np.int64)})
+    flat = np.concatenate(ids)
+    doc, n = np.unique(flat, return_counts=True)
+    return pd.DataFrame({"doc_id": doc.astype(np.int64),
+                         "n_rare": n.astype(np.int64)})
+
+
 def word2vec_outliers(sf_dir: str, limit: int = 200):
     """word2vec model over a deterministic slice of documents (rows-only:
     iterative model training is not SQL-expressible)."""

@@ -168,6 +168,44 @@ class IndexReader:
                     f"wildcard {pattern!r} expands to >{limit} terms")
         return sorted(out)
 
+    def rarest_terms(self, k: int) -> list[tuple[str, int]]:
+        """The k rarest index terms by document frequency (df asc, term
+        asc ties), answered from SEGMENT METADATA only — each segment row
+        carries its run's df, so no posting payload is decoded.  This is
+        the index-backed rarity scoring the terms models build on.  With
+        tombstones present, metadata df overcounts, so the smallest
+        candidates are re-verified against filtered postings before the
+        cut."""
+        import collections
+
+        paths = glob.glob(os.path.join(self.segments_dir, "**", "*.parquet"),
+                          recursive=True)
+        agg: collections.Counter = collections.Counter()
+        for p in paths:
+            t = pq.read_table(p, columns=["term", "df"])
+            terms = t["term"].to_pylist()
+            dfs = t["df"].to_numpy(zero_copy_only=False)
+            for s, d in zip(terms, dfs):
+                agg[s] += int(d)
+        cand = sorted(agg.items(), key=lambda kv: (kv[1], kv[0]))
+        if self.deleted is None:
+            return cand[:k]
+        # metadata df is an UPPER bound under tombstones (true_df >=
+        # meta_df - n_tombstones), so verify candidates in ascending
+        # metadata order and stop once no unverified term can still
+        # beat the kth verified df
+        n_tomb = int(self.deleted.sum())
+        verified: list[tuple[str, int]] = []
+        for s, meta in cand:
+            if len(verified) >= k:
+                kth = sorted(verified, key=lambda kv: (kv[1], kv[0]))[k - 1]
+                if meta - n_tomb > kth[1]:
+                    break
+            d = self.df(s)
+            if d > 0:
+                verified.append((s, d))
+        return sorted(verified, key=lambda kv: (kv[1], kv[0]))[:k]
+
     def terms_regex(self, pattern: str, limit: int = 1024) -> list[str]:
         """Expand a Lucene regexp term (``/pattern/``, full-match
         semantics) against the term dictionary — RE2 via Arrow, matching

@@ -203,3 +203,28 @@ def test_wildcard_and_fuzzy_respect_tombstones(corpus, tmp_path):
     assert "the" in fz
     ids_fz = _union_postings(r1, fz)
     assert not np.intersect1d(ids_fz, drop).size
+
+
+def test_rarest_terms_exact_under_tombstones(corpus, tmp_path):
+    """rarest_terms reads metadata df; with tombstones it must re-verify
+    against filtered postings so the ranking equals a rebuilt index."""
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, num_buckets=8, batch_size=200, overwrite=True)
+    r0 = IndexReader(idx)
+    rare0 = r0.rarest_terms(5)
+    assert len(rare0) == 5 and all(d > 0 for _, d in rare0)
+    assert rare0 == sorted(rare0, key=lambda kv: (kv[1], kv[0]))
+    # delete every doc holding the rarest term -> it must vanish
+    from ee_outliers_ray.index.codec import decode_run
+    t0 = rare0[0][0]
+    victims = decode_run(r0.postings(t0))[0]
+    delete_from_index(idx, victims)
+    r1 = IndexReader(idx)
+    rare1 = r1.rarest_terms(5)
+    assert all(t != t0 for t, _ in rare1)
+    # and the surviving ranking equals a physical rebuild without them
+    rebuilt = str(tmp_path / "rebuilt")
+    _filtered_pages(corpus, str(tmp_path / "pages2"), victims)
+    build_index(str(tmp_path / "pages2"), rebuilt, num_buckets=8,
+                batch_size=200, overwrite=True)
+    assert rare1 == IndexReader(rebuilt).rarest_terms(5)
