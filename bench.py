@@ -212,6 +212,11 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         best = None
         for _ in range(reps):
+            # external-noise evidence: loadavg BEFORE the rep is load we
+            # did not cause; recorded per-rep so storm-polluted history
+            # entries are identifiable from the data alone
+            with open("/proc/loadavg") as f:
+                load_before = float(f.read().split()[0])
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_PIPELINES="0",
                        GRAFT_QUERY_CACHE="0")
@@ -219,6 +224,7 @@ def scaling() -> None:
                                  env=env, capture_output=True, text=True,
                                  check=True, cwd=REPO).stdout
             r = json.loads(out.strip().splitlines()[-1])
+            r["load_before"] = load_before
             if best is None or r["value"] < best["value"]:
                 best = r
         return best
@@ -238,6 +244,8 @@ def scaling() -> None:
         "build_efficiency": round(build_eff, 3),
         "query_efficiency": round(query_eff, 3),
         "bench_docs": BENCH_DOCS,
+        "load_before_8": lo.get("load_before"),
+        "load_before_32": hi.get("load_before"),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
