@@ -508,6 +508,13 @@ class _Parser:
         t = self.next()
         if t is None:
             return And([])
+        # Lucene boost suffix (term^2, "phrase"^0.5): purely score-side,
+        # and this surface is ES FILTER context (es.py:238-250) where
+        # boosts don't affect matching — strip it rather than letting
+        # '^2' leak into tokenization as a bogus extra term
+        b = re.match(r"^(.+)\^\d+(?:\.\d+)?$", t)
+        if b:
+            t = b.group(1)
         if t.startswith('"'):
             m = re.match(r'^"([^"]*)"(?:~(\d+))?$', t)
             if m:

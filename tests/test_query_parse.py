@@ -376,3 +376,14 @@ def test_sloppy_phrase_scan_and_positions(tmp_path):
     for q, exp in expect.items():
         out = filter_by_query_string(ds, q, reader=reader).to_pandas()
         assert sorted(out["doc_id"]) == exp, (q, "positional path")
+
+
+def test_boost_suffix_stripped():
+    """Boosts (term^2) are score-side only; in this filter surface they
+    must strip cleanly instead of leaking '^2' into tokenization."""
+    assert list(parse_query_string("spark^2").mask(_batch(), CTX)) == \
+        [True, False, True, False]
+    assert list(parse_query_string('"spark merge"^0.5').mask(_batch(), CTX)) \
+        == [True, False, False, False]
+    assert list(parse_query_string("lang:en^2").mask(_batch(), CTX)) == \
+        [True, False, False, True]
