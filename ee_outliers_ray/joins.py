@@ -187,11 +187,24 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
         ds_right.map_batches(tag("b", r_rename), batch_format="pyarrow"))
 
     out_cols = l_cols + [c for c in r_cols if c != rk]
+    # The union pads each side's missing columns with typed nulls, and
+    # pandas widens int64-with-nulls to float64 inside the co-group; the
+    # join is inner (no null payloads survive), so cast the output back
+    # to the source Arrow types or downstream consumers (and the
+    # cross-engine hash compare) see double where the input had int64.
+
+    def _pd_dtype(t):
+        try:
+            return t.to_pandas_dtype()
+        except (NotImplementedError, TypeError):
+            return object
+
+    out_types = {c: _pd_dtype(all_fields[c]) for c in out_cols}
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["_side"] == "a"]
         right = g[g["_side"] == "b"]
-        empty = pd.DataFrame({c: pd.Series(dtype=g[c].dtype)
+        empty = pd.DataFrame({c: pd.Series(dtype=out_types[c])
                               for c in out_cols})
         if not len(left) or not len(right):
             return empty
@@ -214,6 +227,6 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
         lsel = left[l_cols].iloc[np.flatnonzero(ok)].reset_index(drop=True)
         rsel = right[r_cols].iloc[order[pos[ok]]].reset_index(drop=True)
         out = pd.concat([lsel, rsel.drop(columns=[rk])], axis=1)
-        return out if len(out) else empty
+        return out.astype(out_types, copy=False) if len(out) else empty
 
     return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")

@@ -233,4 +233,8 @@ def test_asof_join_ties_and_no_match():
     # click; event 4 is user 8 with no clicks at all
     assert out["event_id"].tolist() == [1, 2]
     assert out["event_id_r"].tolist() == [12, 11]
+    # the union's typed-null padding must not leak float64 into the
+    # output: inner join -> source dtypes survive (int64, not double)
+    for c in ("event_id", "user_id", "event_id_r"):
+        assert out[c].dtype == "int64", (c, out[c].dtype)
     assert str(out["ts"].dtype) == "datetime64[us]"
