@@ -91,11 +91,25 @@ def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
 
     right_cols = [key] + [c for c in types_b if c != key]
     left_cols = list(types_a)
+    # The union's typed-null padding makes pandas widen int64 columns to
+    # float64 inside the co-group.  Inner joins can't emit nulls, so cast
+    # the output back to the source Arrow types; left/outer joins keep
+    # the widened dtypes (nulls may survive there).
+
+    def _pd_dtype(t):
+        try:
+            return t.to_pandas_dtype()
+        except (NotImplementedError, TypeError):
+            return object
+
+    out_types = {c: _pd_dtype(t) for c, t in all_fields.items()} \
+        if how == "inner" else None
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["_side"] == "a"][left_cols]
         right = g[g["_side"] == "b"][right_cols]
-        return left.merge(right, on=key, how=how)
+        out = left.merge(right, on=key, how=how)
+        return out.astype(out_types, copy=False) if out_types else out
 
     return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")
 
