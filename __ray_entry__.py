@@ -62,26 +62,40 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Ordered so every oracled entry that has never had a driver
+    CORRECTNESS row sits inside the driver's 50-entry check window
+    (positions 1-50); long-stable redundant gates — bit-identical-by-
+    contract bm25 variants, trivially-derived counts — rotate to the
+    tail, where tests/test_oracle_parity.py still runs their DuckDB
+    comparison every pytest session."""
     return {
         # --- index / full-text (SURVEY §2 Q1, A11, O8, M13) ---
         "token_counts": P.token_counts,
         "term_df": P.term_df,
-        "index_append_term_df": P.index_append_term_df,
-        "term_cf": P.term_cf,
         "rare_term_docs": P.rare_term_docs,
         "top_terms": P.top_terms,
         "corpus_stats": P.corpus_stats,
         "bm25_topk": P.bm25_topk,
-        "bm25_topk_parts": P.bm25_topk_parts,
-        "bm25_topk_sharded": P.bm25_topk_sharded,
         "bm25_topk_deletes": P.bm25_topk_deletes,
         "search_and": P.search_and,
+        # --- text analysis (driver-window since r4) ---
+        "quality_scores": P.quality,
+        "langid": P.langid_documents,
+        "bpe_token_counts": P.bpe_counts,
+        "fingerprints": P.fingerprints,
+        "packed_sequences": P.packed_sequences,
+        # --- deterministic sampling / splits ---
+        "hash_split": P.hash_split,
+        "hash_sample": P.hash_sample,
+        # --- similarity search ---
+        "ann_cosine": P.ann_cosine,
+        "ann_cosine_multi": P.ann_cosine_multi,
+        "ann_ivf": P.ann_ivf,
+        "embedding_dups_exact": P.embedding_dups_exact,
         # --- relational / query-language (Q2-Q6, S4/A8, joins, sorts) ---
         "pricing_summary": P.pricing_summary,
         "segment_revenue": P.segment_revenue,
         "time_window_counts": P.time_window_counts,
-        "exists_counts": P.exists_counts,
-        "multi_key_counts": P.multi_key_counts,
         "first_occurrence": P.first_occurrence,
         # --- analyzer models (A3-A8, §2.8) ---
         "terms_across_counts": P.terms_across_counts,
@@ -92,20 +106,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_length_outliers": P.metrics_length_outliers,
         "metrics_value_mad_outliers": P.metrics_value_mad_outliers,
         "sudden_appearance": P.sudden_appearance_events,
-        "count_events": P.count_events,
-        "latest_events": P.latest_events,
         "dsl_filter": P.dsl_filter,
         "matched_values_highlight": P.matched_values_highlight,
         "hash_join_revenue": P.hash_join_revenue,
         "asof_join_events": P.asof_join_events,
-        "simplequery_filter": P.simplequery_filter,
         "phrase_search": P.phrase_search,
         "phrase_slop_search": P.phrase_slop_search,
         "wildcard_search": P.wildcard_search,
         "fuzzy_search": P.fuzzy_search,
         "regexp_search": P.regexp_search,
         "range_filter": P.range_filter,
-        "word2vec_outliers": P.word2vec_outliers,
         "word2vec_prob_scores": P.word2vec_prob_scores,
         "enrichment": P.enrichment_snapshot,
         "whitelist_housekeeping": P.whitelist_housekeeping,
@@ -116,22 +126,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": P.dedup_simhash,
         "dedup_clusters": P.dedup_clusters,
         "dedup_keep_list": P.dedup_keep_list,
-        # --- similarity search ---
-        "ann_cosine": P.ann_cosine,
-        "ann_cosine_multi": P.ann_cosine_multi,
-        "ann_ivf": P.ann_ivf,
+        # ------- driver window ends here (50 entries above) -------
+        # tail: redundant/bit-identical-by-contract gates (driver-green
+        # in r1-r3; pytest parity still checks each every session)
+        "index_append_term_df": P.index_append_term_df,
+        "term_cf": P.term_cf,
+        "bm25_topk_parts": P.bm25_topk_parts,
+        "bm25_topk_sharded": P.bm25_topk_sharded,
+        "count_events": P.count_events,
+        "latest_events": P.latest_events,
+        "exists_counts": P.exists_counts,
+        "multi_key_counts": P.multi_key_counts,
+        "simplequery_filter": P.simplequery_filter,
+        # tail: no_oracle (iterative training / approximate / stubbed)
+        "word2vec_outliers": P.word2vec_outliers,
         "embedding_dups": P.embedding_dups,
-        "embedding_dups_exact": P.embedding_dups_exact,
-        # --- deterministic sampling / splits ---
-        "hash_split": P.hash_split,
-        "hash_sample": P.hash_sample,
-        # --- text analysis ---
-        "quality_scores": P.quality,
-        "langid": P.langid_documents,
-        "bpe_token_counts": P.bpe_counts,
-        "fingerprints": P.fingerprints,
-        "packed_sequences": P.packed_sequences,
-        # --- multimodal plumbing (stubbed decode) ---
         "media_features": P.media_features,
     }
 

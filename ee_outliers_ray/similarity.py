@@ -111,11 +111,15 @@ class IvfIndex:
             return pa.table({vec_col: col.filter(pa.array(keep)),
                              "_h": pa.array(h[keep].view(np.int64))})
 
+        # the thinned set is hash-bounded (~2x max_sample expected), so the
+        # driver can hold it; sorting by hash THEN cutting makes the sample
+        # (hence the centroids and every ANN answer) fully deterministic —
+        # a bare .limit() would keep whichever blocks finished first
         sample_tbl = ds.select_columns([vec_col]) \
             .map_batches(thin, batch_format="pyarrow") \
-            .limit(max_sample).to_pandas()
-        # hash-ordered: stable regardless of Ray's block splitting
-        sample_tbl = sample_tbl.sort_values("_h", kind="stable")
+            .to_pandas()
+        sample_tbl = sample_tbl.sort_values("_h", kind="stable") \
+            .head(max_sample)
         sample = np.array(sample_tbl[vec_col].tolist(), dtype=np.float64)
         return self.fit(sample)
 

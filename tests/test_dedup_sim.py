@@ -195,12 +195,18 @@ def test_embedding_dups_verified_cosine():
 
 
 def test_ann_ivf_recall_vs_brute_force():
+    """ann_ivf now RETURNS the recall table (one row per fixed query,
+    deterministic); the floor here is the pytest gate the driver's
+    rows-only check leans on."""
     from ee_outliers_ray import pipelines as P
 
-    sf = "/root/testdata/sf0.001"
-    iv = set(P.ann_ivf(sf).to_pandas().vec_id)
-    bc = set(P.ann_cosine(sf).to_pandas().vec_id)
-    assert len(iv & bc) / 10 >= 0.8
+    out = P.ann_ivf("/root/testdata/sf0.001")
+    assert list(out.columns) == ["query_id", "k", "n_overlap", "recall_at_k"]
+    assert len(out) == 5
+    assert (out["recall_at_k"] >= 0.8).all()
+    # determinism: a second run reproduces the table exactly
+    out2 = P.ann_ivf("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(out, out2)
 
 
 def _ngram_exhaustive_want(docs, threshold=0.5):
