@@ -301,19 +301,41 @@ def bm25_topk_sharded(sf_dir: str, query: str = "spark merge batch",
     })
 
 
+# above this rarest-term df, search_and abandons the driver cursor
+# intersection for the fully distributed tokenized scan — at 10^12 docs a
+# hot term's run never reaches the driver, and the (equally huge) result
+# streams as a Dataset instead of collecting into a DataFrame
+_SEARCH_AND_SCAN_MIN_DF = 5_000_000
+
+
 def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
-    """Boolean AND full-text filter via posting-list intersection (Q1 as a
-    pure filter): doc_ids containing every term."""
-    from .index.codec import decode_run
+    """Boolean AND full-text filter (Q1 as a pure filter): doc_ids
+    containing every term.
+
+    Two paths, identical results (pytest-pinned):
+    - rarest-term df (segment METADATA only — no payload read) under the
+      gate: block-streaming cursor intersection on the driver
+      (query/engine.intersect_terms) — decodes the rarest run one block
+      at a time and block-skips the others; no full posting list is
+      ever materialized, fixing the r3 driver-materialization weak spot.
+    - over the gate (all terms hot): distributed tokenized scan
+      (query_string semantics without an index), which streams both the
+      corpus and the result.
+    Mirrors the reference's pure-filter use of query_string
+    (/root/reference/app/helpers/es.py:238-250)."""
+    from .query.engine import intersect_terms
     from .query.reader import IndexReader
 
     reader = IndexReader(documents_index(sf_dir))
-    result: np.ndarray | None = None
-    for t in sorted(terms):
-        run = reader.postings(t)
-        ids = decode_run(run)[0] if run is not None else np.array([], dtype=np.int64)
-        result = ids if result is None else np.intersect1d(result, ids)
-    return pd.DataFrame({"doc_id": np.sort(result if result is not None else [])})
+    min_meta_df = min(reader.meta_df(t) for t in sorted(set(terms)))
+    if min_meta_df > _SEARCH_AND_SCAN_MIN_DF:
+        from .query.parse import filter_by_query_string
+
+        ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+        q = " AND ".join(sorted(set(terms)))
+        return filter_by_query_string(ds, q).select_columns(["doc_id"])
+    ids = intersect_terms(reader, terms)
+    return pd.DataFrame({"doc_id": ids})
 
 
 # --------------------------------------------------------------------------

@@ -385,3 +385,67 @@ class BlockMaxWand:
                     c.next_geq(pivot_doc)
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-d, s) for s, d in out]
+
+
+def _run_members(run, cand: np.ndarray) -> np.ndarray:
+    """Boolean membership of ascending candidate doc_ids in a posting
+    run, decoding ONLY the blocks a candidate could land in (block-skip
+    via the run's block_last_doc directory, vectorized searchsorted
+    within each decoded block).  Memory is O(one block); runtime is
+    O(|cand| log + blocks-touched * block_size)."""
+    from ..index.codec import decode_block
+
+    keep = np.zeros(len(cand), dtype=bool)
+    last = run.block_last_doc
+    bis = np.searchsorted(last, cand, side="left")
+    ok = bis < len(last)
+    for bi in np.unique(bis[ok]):
+        sel = np.flatnonzero(bis == bi)
+        docs, _ = decode_block(run.payload, int(run.block_offset[bi]),
+                               int(run.block_len[bi]),
+                               int(run.block_first_doc[bi]))
+        pos = np.searchsorted(docs, cand[sel])
+        in_rng = pos < len(docs)
+        hit = np.zeros(len(sel), dtype=bool)
+        hit[in_rng] = docs[pos[in_rng]] == cand[sel][in_rng]
+        keep[sel] = hit
+    return keep
+
+
+def intersect_terms(reader: IndexReader, terms) -> np.ndarray:
+    """Boolean-AND posting intersection WITHOUT materializing any full
+    posting list: stream the rarest term's run block by block (128
+    postings at a time) and filter each candidate block through the
+    other runs' block directories (``_run_members``).  Replaces the old
+    decode-everything + np.intersect1d driver path — a hot term's
+    multi-GB run now costs one block-directory binary search per
+    candidate block instead of a full decode.
+
+    Reads through ``reader.postings`` so tombstone filtering applies
+    (same filtered runs TAAT/WAND see).  Returns ascending doc_ids."""
+    from ..index.codec import decode_block
+
+    runs = []
+    for t in sorted(set(terms)):
+        run = reader.postings(t)
+        if run is None:
+            return np.array([], dtype=np.int64)
+        runs.append(run)
+    if not runs:
+        return np.array([], dtype=np.int64)
+    runs.sort(key=lambda r: r.n_postings)
+    lead, rest = runs[0], runs[1:]
+    out: list[np.ndarray] = []
+    for bi in range(len(lead.block_len)):
+        cand, _ = decode_block(lead.payload, int(lead.block_offset[bi]),
+                               int(lead.block_len[bi]),
+                               int(lead.block_first_doc[bi]))
+        for r in rest:
+            if not len(cand):
+                break
+            cand = cand[_run_members(r, cand)]
+        if len(cand):
+            out.append(cand)
+    if not out:
+        return np.array([], dtype=np.int64)
+    return np.concatenate(out)

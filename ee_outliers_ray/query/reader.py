@@ -17,6 +17,7 @@ import os
 import zlib
 
 import numpy as np
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..index.build import _row_to_run
@@ -130,6 +131,22 @@ class IndexReader:
     def df(self, term: str) -> int:
         run = self.postings(term)
         return run.n_postings if run is not None else 0
+
+    def meta_df(self, term: str) -> int:
+        """Document frequency from SEGMENT METADATA only (term + df
+        columns, predicate-pushdown read — no posting payload bytes
+        leave storage).  Under tombstones this is an UPPER bound on the
+        true df, which is exactly what a size gate wants: a term that
+        looks big by metadata is at least as big before deletes."""
+        bucket = zlib.crc32(term.encode()) % self.num_buckets
+        paths = glob.glob(os.path.join(self.segments_dir, f"bucket={bucket}",
+                                       "**", "*.parquet"), recursive=True)
+        total = 0
+        for p in paths:
+            t = pq.read_table(p, columns=["df"],
+                              filters=[("term", "=", term)])
+            total += int(pc.sum(t["df"]).as_py() or 0)
+        return total
 
     def terms_matching(self, pattern: str, limit: int = 1024) -> list[str]:
         """Expand a Lucene wildcard pattern (``*`` = any run, ``?`` = one

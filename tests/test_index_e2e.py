@@ -209,3 +209,67 @@ def test_result_cache_identical_and_invalidated(tmp_path):
     r4 = s.topk("alpha beta", 5)
     assert [d for d, _ in r4]  # runs; scores differ under new stats
     assert r4 != r1
+
+
+@pytest.mark.parametrize("terms", [
+    ("the", "data"),
+    ("the",),
+    ("data", "web", "search"),
+    ("w0042", "the"),
+    ("zzz_not_present", "the"),
+    ("the", "the", "data"),     # duplicate terms collapse
+])
+def test_intersect_terms_matches_full_decode(reader, oracle_docs, terms):
+    """Block-streaming cursor intersection == decode-everything truth ==
+    the tokenized-scan semantics (the three search_and paths)."""
+    from ee_outliers_ray.index.codec import decode_run
+    from ee_outliers_ray.query.engine import intersect_terms
+
+    got = intersect_terms(reader, terms)
+    want = None
+    for t in sorted(set(terms)):
+        run = reader.postings(t)
+        ids = decode_run(run)[0] if run is not None else np.array([], dtype=np.int64)
+        want = ids if want is None else np.intersect1d(want, ids)
+    np.testing.assert_array_equal(got, np.sort(want))
+    scan = sorted(d for d, toks in oracle_docs.items()
+                  if all(t in toks for t in terms))
+    assert got.tolist() == scan
+
+
+def test_intersect_terms_under_tombstones(corpus_dir, index_dir, tmp_path):
+    """Intersection sees tombstone-filtered runs (same contract as
+    TAAT/WAND)."""
+    import shutil as _sh
+
+    from ee_outliers_ray.index.mutate import delete_from_index
+    from ee_outliers_ray.query.engine import intersect_terms
+
+    d = str(tmp_path / "idx")
+    _sh.copytree(index_dir, d)
+    r0 = IndexReader(d)
+    base = intersect_terms(r0, ("the", "data"))
+    assert len(base) > 3
+    victims = base[:3].tolist()
+    delete_from_index(d, victims)
+    r1 = IndexReader(d)  # readers are per-index-version
+    after = intersect_terms(r1, ("the", "data"))
+    np.testing.assert_array_equal(after, np.setdiff1d(base, victims))
+
+
+def test_search_and_scan_path_matches_driver_path(monkeypatch):
+    """Forcing the df gate to 0 sends search_and down the distributed
+    tokenized-scan branch; results must equal the cursor branch."""
+    from ee_outliers_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    driver = P.search_and(sf)
+    monkeypatch.setattr(P, "_SEARCH_AND_SCAN_MIN_DF", 0)
+    scan = P.search_and(sf).to_pandas()
+    assert sorted(scan["doc_id"]) == driver["doc_id"].tolist()
+
+
+def test_meta_df_matches_df(reader):
+    for t in ("the", "data", "w0042"):
+        assert reader.meta_df(t) == reader.df(t)
+    assert reader.meta_df("zzz_not_present") == 0
