@@ -27,6 +27,23 @@ def _bucket_of(col: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     return (hash_any_array(col) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _restore_dtypes(out: pd.DataFrame, out_types: dict) -> pd.DataFrame:
+    """Cast an inner-join's output back to the source dtypes — but only
+    integer columns that carry NO nulls: a source int64 column that
+    already contained nulls (pre-existing, not join-introduced) is
+    widened by pandas to float64 with NaN, and a hard astype(int64)
+    would raise IntCastingNaNError; such columns keep the widened
+    float, matching what the source itself looks like in pandas."""
+    casts = {}
+    for c, t in out_types.items():
+        if c not in out.columns:
+            continue
+        if pd.api.types.is_integer_dtype(t) and out[c].isna().any():
+            continue
+        casts[c] = t
+    return out.astype(casts, copy=False)
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, key: str, *,
                    how: str = "inner"):
     """Join a Dataset against a small pandas side (broadcast once)."""
@@ -109,7 +126,7 @@ def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
         left = g[g["_side"] == "a"][left_cols]
         right = g[g["_side"] == "b"][right_cols]
         out = left.merge(right, on=key, how=how)
-        return out.astype(out_types, copy=False) if out_types else out
+        return _restore_dtypes(out, out_types) if out_types else out
 
     return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")
 
@@ -241,6 +258,6 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
         lsel = left[l_cols].iloc[np.flatnonzero(ok)].reset_index(drop=True)
         rsel = right[r_cols].iloc[order[pos[ok]]].reset_index(drop=True)
         out = pd.concat([lsel, rsel.drop(columns=[rk])], axis=1)
-        return out.astype(out_types, copy=False) if len(out) else empty
+        return _restore_dtypes(out, out_types) if len(out) else empty
 
     return u.groupby("_bucket").map_groups(join_group, batch_format="pandas")

@@ -191,10 +191,16 @@ class BlockMaxPruning:
     O(n_ranges + n_blocks) per term, independent of posting count.
     """
 
+    # decoded-block cache cap in POSTINGS, mirroring IndexReader's
+    # postings_decoded limit: a long-lived searcher in a query actor
+    # must not grow without bound across queries
+    DECODED_CACHE_LIMIT = 50_000_000
+
     def __init__(self, reader: IndexReader, range_width: int = 4096):
         self.reader = reader
         self.range_width = int(range_width)
         self._blocks: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+        self._blocks_postings = 0
 
     def _block(self, term: str, run, bi: int):
         from ..index.codec import decode_block
@@ -205,7 +211,11 @@ class BlockMaxPruning:
             hit = decode_block(run.payload, int(run.block_offset[bi]),
                                int(run.block_len[bi]),
                                int(run.block_first_doc[bi]))
+            if self._blocks_postings + len(hit[0]) > self.DECODED_CACHE_LIMIT:
+                self._blocks.clear()
+                self._blocks_postings = 0
             self._blocks[key] = hit
+            self._blocks_postings += len(hit[0])
         return hit
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:

@@ -34,14 +34,23 @@ def levenshtein_within(query: str, cands: list[str],
     """Boolean mask: which candidates are within ``max_dist`` edits of
     ``query``.  Candidates longer/shorter than the query by more than
     ``max_dist`` are rejected up front (a length-band prune — the edit
-    distance is at least the length difference)."""
+    distance is at least the length difference).
+
+    ASCII-ONLY contract: the DP operates on single bytes, so character
+    count must equal byte count.  Index terms satisfy this by the
+    tokenizer's ``[a-z0-9]+`` guarantee, but the QUERY string comes
+    from users — a non-ASCII query returns an all-False mask (it cannot
+    equal any ``[a-z0-9]+`` term within byte-level edits anyway), and
+    non-ASCII candidates are masked out rather than corrupting the
+    padded matrix reshape."""
     n = len(cands)
     out = np.zeros(n, dtype=bool)
-    if n == 0:
+    if n == 0 or not query.isascii():
         return out
     m = len(query)
     lens_all = np.fromiter((len(s) for s in cands), dtype=np.int64, count=n)
     band = np.abs(lens_all - m) <= max_dist
+    band &= np.fromiter((s.isascii() for s in cands), dtype=bool, count=n)
     idx = np.flatnonzero(band)
     if not len(idx):
         return out

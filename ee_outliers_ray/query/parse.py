@@ -126,16 +126,23 @@ class Phrase(Node):
         for i in np.flatnonzero(cand):
             dt = np.asarray(tokenize(texts[i]), dtype=object)
             out[i] = _slop_match(
-                [np.flatnonzero(dt == t) for t in toks], self.slop)
+                [np.flatnonzero(dt == t) for t in toks], self.slop, toks)
         return out
 
     def terms(self):
         return tokenize(self.text)
 
 
-def _slop_match(pos_lists: list[np.ndarray], slop: int) -> bool:
+def _slop_match(pos_lists: list[np.ndarray], slop: int,
+                toks: list[str] | None = None) -> bool:
     """True when some anchor occurrence of term 0 has every later term i
-    within ``slop`` of position anchor + i (sorted position arrays)."""
+    within ``slop`` of position anchor + i (sorted position arrays).
+
+    Lucene's distinct-position rule for REPEATED terms is enforced when
+    ``toks`` is given: occurrences of the same term must match distinct
+    positions ("a a"~1 does not match a document with a single 'a').
+    With slop == 0 the windows are disjoint singletons, so distinctness
+    is automatic and the vectorized pass is exact."""
     anchors = pos_lists[0].astype(np.int64)
     ok = np.ones(len(anchors), dtype=bool)
     for i, p in enumerate(pos_lists[1:], 1):
@@ -144,7 +151,40 @@ def _slop_match(pos_lists: list[np.ndarray], slop: int) -> bool:
         lo = np.searchsorted(p, anchors + i - slop, side="left")
         ok &= (lo < len(p)) & \
             (p[np.minimum(lo, len(p) - 1)] <= anchors + i + slop)
-    return bool(ok.any())
+    if not ok.any():
+        return False
+    if slop == 0 or toks is None or len(set(toks)) == len(toks):
+        return True
+    # repeated terms + slop: exact injective assignment per surviving
+    # anchor (windows per occurrence form a staircase, so greedy
+    # smallest-unused-feasible-position is optimal)
+    return any(_injective_slop_match(int(a), pos_lists, slop, toks)
+               for a in anchors[ok])
+
+
+def _injective_slop_match(anchor: int, pos_lists: list[np.ndarray],
+                          slop: int, toks: list[str]) -> bool:
+    """Exact distinct-position check for one anchor: every occurrence i
+    of each repeated term needs its own position inside
+    [anchor+i-slop, anchor+i+slop] (occurrence 0 is pinned to the
+    anchor itself)."""
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        groups.setdefault(t, []).append(i)
+    for t, occ in groups.items():
+        positions = pos_lists[occ[0]]
+        used: set[int] = set()
+        for i in occ:
+            lo_b = anchor if i == 0 else anchor + i - slop
+            hi_b = anchor if i == 0 else anchor + i + slop
+            j = int(np.searchsorted(positions, lo_b, side="left"))
+            while (j < len(positions) and positions[j] <= hi_b
+                   and int(positions[j]) in used):
+                j += 1
+            if j >= len(positions) or positions[j] > hi_b:
+                return False
+            used.add(int(positions[j]))
+    return True
 
 
 @dataclass
@@ -418,7 +458,7 @@ def _phrase_docs_from_positions(reader, toks: list[str],
         for d, starts, flat in per_term:
             j = int(np.searchsorted(d, doc))
             pos_lists.append(flat[starts[j]:starts[j + 1]].astype(np.int64))
-        if _slop_match(pos_lists, slop):
+        if _slop_match(pos_lists, slop, toks):
             out.append(int(doc))
     return np.asarray(out, dtype=np.int64)
 

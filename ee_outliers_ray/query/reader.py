@@ -67,6 +67,7 @@ class IndexReader:
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._decoded_postings = 0
         self.decoded_cache_limit = 50_000_000  # postings held decoded
+        self._meta_df_cache: list[tuple[str, int]] | None = None
 
     def postings(self, term: str) -> EncodedRun | None:
         """Fetch (and cache) the merged posting run for one term."""
@@ -185,6 +186,29 @@ class IndexReader:
                     f"wildcard {pattern!r} expands to >{limit} terms")
         return sorted(out)
 
+    def _meta_df_sorted(self) -> list[tuple[str, int]]:
+        """(term, metadata-df) for the WHOLE dictionary, df asc / term
+        asc — one vectorized pyarrow group_by over the concatenated
+        segment metadata columns (no per-row Python), cached on the
+        reader (the index is immutable per reader version)."""
+        if self._meta_df_cache is None:
+            import pyarrow as pa
+
+            paths = glob.glob(
+                os.path.join(self.segments_dir, "**", "*.parquet"),
+                recursive=True)
+            tabs = [pq.read_table(p, columns=["term", "df"]) for p in paths]
+            t = pa.concat_tables(tabs) if tabs else \
+                pa.table({"term": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64())})
+            agg = t.group_by("term").aggregate([("df", "sum")]) \
+                .sort_by([("df_sum", "ascending"), ("term", "ascending")])
+            self._meta_df_cache = list(zip(
+                agg["term"].to_pylist(),
+                (int(x) for x in agg["df_sum"].to_numpy(
+                    zero_copy_only=False))))
+        return self._meta_df_cache
+
     def rarest_terms(self, k: int) -> list[tuple[str, int]]:
         """The k rarest index terms by document frequency (df asc, term
         asc ties), answered from SEGMENT METADATA only — each segment row
@@ -193,18 +217,7 @@ class IndexReader:
         tombstones present, metadata df overcounts, so the smallest
         candidates are re-verified against filtered postings before the
         cut."""
-        import collections
-
-        paths = glob.glob(os.path.join(self.segments_dir, "**", "*.parquet"),
-                          recursive=True)
-        agg: collections.Counter = collections.Counter()
-        for p in paths:
-            t = pq.read_table(p, columns=["term", "df"])
-            terms = t["term"].to_pylist()
-            dfs = t["df"].to_numpy(zero_copy_only=False)
-            for s, d in zip(terms, dfs):
-                agg[s] += int(d)
-        cand = sorted(agg.items(), key=lambda kv: (kv[1], kv[0]))
+        cand = self._meta_df_sorted()
         if self.deleted is None:
             return cand[:k]
         # metadata df is an UPPER bound under tombstones (true_df >=

@@ -238,3 +238,46 @@ def test_asof_join_ties_and_no_match():
     for c in ("event_id", "user_id", "event_id_r"):
         assert out[c].dtype == "int64", (c, out[c].dtype)
     assert str(out["ts"].dtype) == "datetime64[us]"
+
+
+def test_hash_join_source_int_column_with_nulls():
+    """A source int64 column that ALREADY contains nulls must survive an
+    inner hash_join (pre-fix: pandas widened it to float64 with NaN and
+    the dtype-restore astype(int64) raised IntCastingNaNError); rows and
+    values must match pandas, with the nullable column widened."""
+    a = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                  "x": pa.array([10, None, 30], type=pa.int64())})
+    b = pa.table({"k": pa.array([1, 2, 2], type=pa.int64()),
+                  "y": pa.array([7, 8, 9], type=pa.int64())})
+    got = hash_join(ray.data.from_arrow(a), ray.data.from_arrow(b),
+                    "k", num_buckets=3).to_pandas() \
+        .sort_values(["k", "y"]).reset_index(drop=True)
+    assert list(got["k"]) == [1, 2, 2]          # ints restored
+    assert got["k"].dtype == np.int64
+    assert got["y"].dtype == np.int64
+    assert got["x"].isna().tolist() == [False, True, True]
+    assert got.loc[0, "x"] == 10
+
+
+def test_asof_join_source_int_column_with_nulls():
+    from ee_outliers_ray.joins import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([10, 20], type=pa.int64()),
+        "tie": pa.array([0, 1], type=pa.int64()),
+        "payload": pa.array([None, 5], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1], type=pa.int64()),
+        "ts": pa.array([5], type=pa.int64()),
+        "tie": pa.array([0], type=pa.int64()),
+        "payload": pa.array([None], type=pa.int64()),
+    })
+    got = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "k", "ts", tie_col="tie", num_buckets=2).to_pandas() \
+        .sort_values("ts").reset_index(drop=True)
+    assert len(got) == 2
+    assert got["k"].dtype == np.int64 and got["ts"].dtype == np.int64
+    assert got["payload"].isna().tolist() == [True, False]
+    assert got["payload_r"].isna().all()

@@ -273,3 +273,17 @@ def test_meta_df_matches_df(reader):
     for t in ("the", "data", "w0042"):
         assert reader.meta_df(t) == reader.df(t)
     assert reader.meta_df("zzz_not_present") == 0
+
+
+def test_bmp_block_cache_bounded(reader, query="the data"):
+    """BlockMaxPruning's decoded-block cache evicts at the postings cap
+    instead of growing without bound across queries, with identical
+    results."""
+    from ee_outliers_ray.query.engine import BlockMaxPruning
+
+    bmp = BlockMaxPruning(reader)
+    want = bmp.topk(query, 10)
+    tiny = BlockMaxPruning(reader)
+    tiny.DECODED_CACHE_LIMIT = 64  # force eviction every few blocks
+    assert tiny.topk(query, 10) == want
+    assert tiny._blocks_postings <= 64 + 128  # cap + one block slack

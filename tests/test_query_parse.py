@@ -387,3 +387,46 @@ def test_boost_suffix_stripped():
         == [True, False, False, False]
     assert list(parse_query_string("lang:en^2").mask(_batch(), CTX)) == \
         [True, False, False, True]
+
+
+def test_sloppy_phrase_repeated_term_distinct_positions(tmp_path):
+    """Lucene's distinct-position rule for repeated terms: "a a"~1 must
+    NOT match a document holding a single 'a' (the anchor can't serve
+    both occurrences); both the scan and positional-index paths agree."""
+    import ray
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.query.reader import IndexReader
+
+    b = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": ["a", "a a", "a x a", "x a x", "a x x a"],
+    })
+    expect = {'"a a"~1': [1, 2], '"a a"~2': [1, 2, 4], '"a a"~3': [1, 2, 4],
+              '"a a"': [1], '"a x a"~1': [2, 4]}
+    for q, exp in expect.items():
+        ast = parse_query_string(q)
+        got = [int(i) for i in np.flatnonzero(ast.mask(b, CTX))]
+        assert got == exp, (q, got, exp)
+
+    src = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(b, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, from_html=False, num_buckets=4, batch_size=2,
+                store_positions=True)
+    reader = IndexReader(idx)
+    ds = ray.data.read_parquet(src)
+    for q, exp in expect.items():
+        out = filter_by_query_string(ds, q, reader=reader).to_pandas()
+        assert sorted(out["doc_id"]) == exp, (q, "positional path")
+
+
+def test_fuzzy_kernel_non_ascii_safe():
+    """ASCII-only contract: a non-ASCII query matches nothing; non-ASCII
+    candidates are masked out instead of corrupting the byte-matrix
+    reshape (chars != bytes)."""
+    from ee_outliers_ray.query.fuzzy import levenshtein_within
+
+    assert not levenshtein_within("café", ["cafe", "café"], 1).any()
+    got = levenshtein_within("cafe", ["café", "cafe", "caff", "caféx"], 1)
+    assert got.tolist() == [False, True, True, False]
