@@ -285,3 +285,38 @@ def hash_any_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
     return hash_string_array(s)
+
+
+_CRC_TABLE: np.ndarray | None = None
+
+
+def _crc32_table() -> np.ndarray:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, np.uint32(0xEDB88320) ^ (t >> 1),
+                         t >> 1).astype(np.uint32)
+        _CRC_TABLE = t
+    return _CRC_TABLE
+
+
+def crc32_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """``zlib.crc32`` of each byte segment, vectorized ACROSS segments:
+    one table-lookup pass per byte position over the still-active rows
+    (bit-identical to zlib.crc32 — property-pinned).  Replaces the last
+    per-term Python loop in the SPIMI build hot path (term -> segment
+    bucket assignment), so the on-disk bucket layout is unchanged."""
+    table = _crc32_table()
+    n = len(offsets) - 1
+    starts = offsets[:-1].astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    if n == 0:
+        return crc ^ np.uint32(0xFFFFFFFF)
+    for j in range(int(lens.max())):
+        act = np.flatnonzero(lens > j)
+        b = data[starts[act] + j].astype(np.uint32)
+        c = crc[act]
+        crc[act] = (c >> np.uint32(8)) ^ table[(c ^ b) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)

@@ -65,6 +65,18 @@ def term_bucket_of(terms: np.ndarray, num_buckets: int) -> np.ndarray:
     )
 
 
+def term_bucket_of_arrow(dictionary: pa.Array, num_buckets: int) -> np.ndarray:
+    """``term_bucket_of`` for an Arrow string array without leaving
+    numpy: vectorized crc32 straight off the Arrow byte buffers
+    (bit-identical to zlib.crc32, so the segment bucket LAYOUT is
+    unchanged — readers keep computing buckets with zlib.crc32)."""
+    from ..hashing import crc32_segments, string_bytes
+
+    data, offsets = string_bytes(dictionary)
+    return (crc32_segments(data, offsets)
+            % np.uint32(num_buckets)).astype(np.int32)
+
+
 _RUN_SCHEMA = pa.schema([
     ("term", pa.string()),
     ("bucket", pa.int32()),
@@ -207,8 +219,7 @@ def _encode_part(batch: pa.Table, doclens_dir: str, num_buckets: int,
     out_doc = doc_ids[u_doc]
     out_dl = dls[u_doc]
 
-    dict_np = np.asarray(enc.dictionary.to_pandas(), dtype=object)
-    bucket_per_dict = term_bucket_of(dict_np, num_buckets)
+    bucket_per_dict = term_bucket_of_arrow(enc.dictionary, num_buckets)
 
     positions_sorted = None
     if store_positions:

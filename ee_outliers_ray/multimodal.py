@@ -63,17 +63,31 @@ class MediaDecode:
         f[:min(len(vals), self.feature_dim)] = vals[:self.feature_dim]
         return f
 
+    def _wav_features(self, payload: bytes) -> np.ndarray:
+        from .wav import audio_features, decode_wav
+
+        samples, rate = decode_wav(payload)
+        f = np.zeros(self.feature_dim, dtype=np.float32)
+        vals = audio_features(samples, rate)
+        f[:min(len(vals), self.feature_dim)] = vals[:self.feature_dim]
+        return f
+
     def _decode_one(self, payload: bytes) -> np.ndarray:
         from .png import _SIG, decode_png
+        from .wav import is_wav
 
         if payload[:8] == _SIG:
             # REAL path: pure-stdlib PNG decode (png.py)
             return self._png_features(decode_png(payload))
+        if is_wav(payload):
+            # REAL path: pure-stdlib WAV decode (wav.py) -> spectral/
+            # energy features
+            return self._wav_features(payload)
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG media decode requires PIL/ffmpeg, not available "
-                "in this environment; run with fake=True for the "
-                "deterministic stub")
+                "non-PNG/WAV media decode requires PIL/ffmpeg, not "
+                "available in this environment; run with fake=True for "
+                "the deterministic stub")
         # deterministic fake: bytes -> blake2b digest -> float features
         digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
@@ -222,16 +236,21 @@ def sample_frames(ds, *, num_frames: int = 4, fake: bool = True,
 
 
 def synth_media_table(n: int = 64, seed: int = 5,
-                      real_png: bool = False) -> pa.Table:
+                      real_png: bool = False,
+                      real_wav: bool = False) -> pa.Table:
     """Deterministic synthetic media table matching MEDIA_SCHEMA.
 
     ``real_png=True``: image rows carry actual (decodable) PNG payloads
-    with matching width/height metadata — drives the real decode path;
-    audio/video rows stay opaque bytes."""
+    with matching width/height metadata — drives the real decode path.
+    ``real_wav=True``: audio rows carry actual 16-bit PCM WAV payloads
+    (seeded tone + noise mixtures) with matching duration_ms metadata.
+    Video rows stay opaque bytes (ffmpeg-shaped decode remains a
+    declared stub)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])
     kind_col = kinds[rng.integers(0, 3, size=n)]
     payloads, mimes, widths, heights = [], [], [], []
+    durations = rng.integers(0, 60000, size=n).astype(np.int32)
     for i in range(n):
         w = int(rng.integers(16, 64))
         h = int(rng.integers(16, 64))
@@ -241,6 +260,19 @@ def synth_media_table(n: int = 64, seed: int = 5,
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
             payloads.append(encode_png(img, filter_mode="cycle"))
             mimes.append("image/png")
+        elif real_wav and kind_col[i] == "audio":
+            from .wav import encode_wav
+
+            rate = 8000
+            dur_ms = int(rng.integers(20, 250))
+            durations[i] = dur_ms
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            freq = float(rng.integers(100, 2000))
+            sig = 0.5 * np.sin(2 * np.pi * freq * t) \
+                + 0.1 * rng.standard_normal(len(t))
+            payloads.append(encode_wav(
+                np.clip(sig * 32767, -32768, 32767).astype(np.int16), rate))
+            mimes.append("audio/wav")
         else:
             size = int(rng.integers(64, 2048))
             payloads.append(rng.integers(0, 256, size=size)
@@ -255,6 +287,6 @@ def synth_media_table(n: int = 64, seed: int = 5,
         "mime": mimes,
         "width": np.asarray(widths, dtype=np.int32),
         "height": np.asarray(heights, dtype=np.int32),
-        "duration_ms": rng.integers(0, 60000, size=n).astype(np.int32),
+        "duration_ms": durations,
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -110,10 +110,23 @@ def term_cf(sf_dir: str):
 
 
 def top_terms(sf_dir: str, k: int = 20):
-    """Top-k terms by collection frequency (sort + limit; deterministic
-    tie-break on term)."""
+    """Top-k terms by collection frequency.  EXACT per-block partial
+    top-k after the cf groupby (each term appears exactly once there),
+    then a (blocks x k)-row driver merge — no all-to-all sort of the
+    whole vocabulary (deterministic tie-break on term)."""
     ds = term_cf(sf_dir)
-    return ds.sort(["cf", "term"], descending=[True, False]).limit(k)
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        cf = b["cf"].to_numpy(zero_copy_only=False)
+        term = b["term"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((term, -cf))[:k]
+        return b.take(pa.array(idx))
+
+    cand = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    return cand.sort_values(["cf", "term"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
 
 
 def corpus_stats(sf_dir: str):
@@ -1163,20 +1176,48 @@ def word2vec_prob_scores(sf_dir: str, limit: int = 200):
     return df[["doc_id", "w2v_prob_score"]]
 
 
+# above this flagged-row count the enrichment uses the hash-sharded
+# actor store (apply_outliers_sharded) instead of the broadcast driver
+# dict — at corpus scale the outlier entries never collect on the driver
+_ENRICH_SHARDED_MIN_ROWS = 10_000
+
+
 def enrichment_snapshot(sf_dir: str):
     """Enrichment pipeline (S5 semantics): flag docs via the terms model,
-    merge outlier arrays + tag, return enriched rows (rows-only)."""
-    from .enrich import apply_outliers
+    merge outlier arrays + tag, return enriched rows.
 
+    Size-gated like search_and: sparse outliers broadcast as a driver
+    dict; above ``_ENRICH_SHARDED_MIN_ROWS`` the entry rows push
+    hash-sharded into the actor store and the corpus streams one merge
+    pass (the scale path — pytest forces the gate to prove both paths
+    produce identical output)."""
     flagged = terms_within_median(sf_dir)
-    entries: dict[int, list[dict]] = {}
-    for _, r in flagged.iterrows():
-        entries.setdefault(int(r["event_id"]), []).append({
-            "type": "rare", "reason": "rarely seen target",
-            "summary": f"rare {r['target']} in {r['aggregator']}",
-            "model_name": "rare_users", "model_type": "terms"})
     ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
-    out = apply_outliers(ds, entries, id_col="event_id")
+    ids = flagged["event_id"].to_numpy().astype(np.int64)
+    summaries = ("rare " + flagged["target"].astype(str)
+                 + " in " + flagged["aggregator"].astype(str)).tolist()
+    if len(flagged) > _ENRICH_SHARDED_MIN_ROWS:
+        import ray.data
+
+        from .enrich import apply_outliers_sharded
+
+        entries_df = pd.DataFrame({
+            "event_id": ids, "type": "rare",
+            "reason": "rarely seen target", "summary": summaries,
+            "model_name": "rare_users", "model_type": "terms",
+            "extra": [None] * len(flagged)})
+        out = apply_outliers_sharded(ds, ray.data.from_pandas(entries_df),
+                                     id_col="event_id")
+    else:
+        from .enrich import apply_outliers
+
+        entries: dict[int, list[dict]] = {}
+        for i, s in zip(ids, summaries):
+            entries.setdefault(int(i), []).append({
+                "type": "rare", "reason": "rarely seen target",
+                "summary": s, "model_name": "rare_users",
+                "model_type": "terms"})
+        out = apply_outliers(ds, entries, id_col="event_id")
     df = out.to_pandas()
     df = df[df["outliers"].notna()]
     return pd.DataFrame({
@@ -1217,13 +1258,15 @@ def whitelist_housekeeping(sf_dir: str):
 def media_features(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
     table (payload columns are not part of the driver testdata).  Image
-    rows carry REAL PNG payloads and decode through the pure-stdlib
-    codec (png.py); audio/video rows use the declared deterministic
-    stub (PIL/ffmpeg absent)."""
+    rows carry REAL PNG payloads (pure-stdlib codec, png.py); audio
+    rows carry REAL 16-bit PCM WAV payloads (stdlib ``wave``, wav.py)
+    and decode into spectral/energy features; only video remains the
+    declared deterministic stub (ffmpeg absent)."""
     import ray.data
 
     from .multimodal import decode_features, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(n=64, seed=5,
-                                               real_png=True))
+                                               real_png=True,
+                                               real_wav=True))
     return decode_features(ds, fake=True)

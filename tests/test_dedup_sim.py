@@ -87,12 +87,22 @@ def test_minhash_signature_approximates_jaccard():
     assert n_sh[6] == 0  # empty doc has no shingles
 
 
-def test_minhash_near_dups_pipeline_matches_exhaustive():
+@pytest.mark.parametrize("path", ["driver", "distributed"])
+def test_minhash_near_dups_pipeline_matches_exhaustive(path, monkeypatch):
     """Pipeline output == exhaustive threshold Jaccard over all pairs
-    (recall 1 at these similarities), with exact jaccard values."""
+    (recall 1 at these similarities), with exact jaccard values — on
+    BOTH the driver pair-gen/verify branch and the fully distributed
+    branch (groupby pair gen + sharded-store verify), forced by zeroing
+    the gates."""
+    kw = {}
+    if path == "distributed":
+        from ee_outliers_ray import dedup as D
+
+        kw["max_driver_candidate_rows"] = 0
+        monkeypatch.setattr(D, "_DRIVER_VERIFY_MAX_PAIRS", 0)
     ds = ray.data.from_pandas(pd.DataFrame(
         {"doc_id": range(len(DOCS)), "text": DOCS}))
-    got = minhash_near_dups(ds, threshold=0.5).to_pandas() \
+    got = minhash_near_dups(ds, threshold=0.5, **kw).to_pandas() \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
     want = []
     for i in range(len(DOCS)):

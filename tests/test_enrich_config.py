@@ -307,3 +307,19 @@ trigger_focus=text
     ds = ray.data.from_arrow(pa.table({"agg": ["a"], "cmd": ["x y"]}))
     with pytest.raises(ValueError, match="trigger_score"):
         run_model(cfgs[0], ds)
+
+
+def test_enrichment_snapshot_sharded_path_identical(monkeypatch):
+    """Forcing the row gate to 0 sends the enrichment queries() entry
+    down apply_outliers_sharded; output must equal the driver-dict
+    path (and hence the driver oracle)."""
+    from ee_outliers_ray import pipelines as P
+
+    sf = "/root/testdata/sf0.001"
+    want = P.enrichment_snapshot(sf).sort_values("event_id") \
+        .reset_index(drop=True)
+    monkeypatch.setattr(P, "_ENRICH_SHARDED_MIN_ROWS", 0)
+    got = P.enrichment_snapshot(sf).sort_values("event_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 0

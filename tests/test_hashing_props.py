@@ -162,3 +162,30 @@ def test_hash_any_array_integer_nulls_deterministic():
     h2 = hash_any_array(pa.array([1, 0, 3, 0], type=pa.int64()))
     assert (h == h2).all()
     assert h.dtype == np.uint64
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+    max_size=24), max_size=40))
+@settings(max_examples=120, deadline=None)
+def test_crc32_segments_equals_zlib(strings):
+    import zlib
+
+    from ee_outliers_ray.hashing import crc32_segments, string_bytes
+
+    arr = pa.array(strings, type=pa.string())
+    data, offsets = string_bytes(arr)
+    got = crc32_segments(data, offsets)
+    want = np.array([zlib.crc32(s.encode()) for s in strings],
+                    dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_term_bucket_of_arrow_equals_python():
+    from ee_outliers_ray.index.build import term_bucket_of, term_bucket_of_arrow
+
+    terms = ["the", "data", "w0042", "", "a" * 30, "z9", "merge", "spark"]
+    arr = pa.array(terms, type=pa.string())
+    np.testing.assert_array_equal(
+        term_bucket_of_arrow(arr, 32),
+        term_bucket_of(np.asarray(terms, dtype=object), 32))

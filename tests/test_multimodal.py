@@ -117,3 +117,64 @@ def test_media_features_real_png_table():
         f = out["features"].iloc[i]
         assert f[0] == src["height"].iloc[i]
         assert f[1] == src["width"].iloc[i]
+
+
+def test_wav_codec_roundtrip():
+    from ee_outliers_ray.wav import decode_wav, encode_wav, is_wav
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32767, size=(777, ch)).astype(np.int16)
+        payload = encode_wav(s, rate=8000)
+        assert is_wav(payload)
+        got, rate = decode_wav(payload)
+        assert rate == 8000
+        np.testing.assert_array_equal(got, s)
+    assert not is_wav(b"RIFFxxxxJUNK")
+    assert not is_wav(b"\x89PNG")
+
+
+def test_wav_audio_features_golden():
+    """Pure tone: duration/rate/channels exact; spectral energy lands in
+    the band containing the tone frequency."""
+    from ee_outliers_ray.wav import audio_features, decode_wav, encode_wav
+
+    rate, freq = 8000, 1000.0
+    t = np.arange(rate) / rate  # 1 second
+    sig = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    samples, r = decode_wav(encode_wav(sig, rate))
+    f = audio_features(samples, r)
+    assert f[0] == pytest.approx(1.0)           # duration s
+    assert f[1] == pytest.approx(rate / 1e5)
+    assert f[2] == 1.0                          # channels
+    assert f[3] == pytest.approx(0.5 / np.sqrt(2), rel=1e-2)  # sine RMS
+    # 1 kHz at nyquist 4 kHz -> band 2 of 8 holds nearly all energy
+    assert f[5 + 2] > 0.9
+
+
+def test_media_features_real_wav_table():
+    """Audio rows decode for REAL: feature[0] equals duration_ms/1000
+    from the table metadata, and decode is deterministic."""
+    ds = ray.data.from_arrow(synth_media_table(n=48, seed=5, real_png=True,
+                                               real_wav=True))
+    out = decode_features(ds, fake=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    src = synth_media_table(n=48, seed=5, real_png=True,
+                            real_wav=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    audio_rows = src["kind"] == "audio"
+    assert audio_rows.any()
+    for i in np.flatnonzero(audio_rows.to_numpy()):
+        f = out["features"].iloc[i]
+        assert f[0] == pytest.approx(src["duration_ms"].iloc[i] / 1000.0,
+                                     abs=1e-3)
+        assert f[1] == pytest.approx(0.08)      # 8 kHz
+        assert f[2] == 1.0
+    # fake=False must now ACCEPT wav (real path) but reject opaque video
+    from ee_outliers_ray.multimodal import MediaDecode
+
+    dec = MediaDecode(fake=False)
+    wav_payload = src.loc[audio_rows, "payload"].iloc[0]
+    assert len(dec._decode_one(wav_payload)) == 16
+    with pytest.raises(NotImplementedError):
+        dec._decode_one(b"not media")
