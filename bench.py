@@ -161,6 +161,24 @@ def pipeline_timings() -> dict:
         "ann_cosine": P.ann_cosine, "quality_scores": P.quality,
         "langid": P.langid_documents,
     }
+    # GRAFT_BENCH_DEDUP_DISTRIBUTED=1 also times dedup_minhash with the
+    # driver gates zeroed (distributed pair gen + sharded-store verify —
+    # the branch the 100x-scale corpus would take; results pinned equal
+    # to the driver branch by pytest)
+    if os.environ.get("GRAFT_BENCH_DEDUP_DISTRIBUTED", "0") == "1":
+        from ee_outliers_ray import dedup as D
+
+        def _minhash_distributed(sf):
+            from unittest import mock
+
+            with mock.patch.object(D, "_DRIVER_VERIFY_MAX_PAIRS", 0):
+                ds = P.read(sf, "documents", columns=["doc_id", "text"])
+                return D.minhash_near_dups(ds, threshold=0.5,
+                                           max_driver_candidate_rows=0)
+
+        names.append("dedup_minhash_distributed")
+        fns["dedup_minhash_distributed"] = _minhash_distributed
+
     import ray.data
 
     # warm the cluster (worker spawn + read cache) so per-pipeline times
