@@ -198,7 +198,13 @@ def pipeline_timings() -> dict:
 
 
 def main() -> None:
+    # loadavg BEFORE the run: load we did not cause — makes neighbor-
+    # storm-polluted samples identifiable from the JSON alone (the
+    # documented protocol is best-of-N in quiet windows, 1-min < 1.5)
+    with open("/proc/loadavg") as f:
+        load_before = [float(x) for x in f.read().split()[:2]]
     h = headline(NCPU)
+    h["load_before"] = load_before
     q = {}
     if PIPELINES:
         import ray

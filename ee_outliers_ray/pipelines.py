@@ -1236,12 +1236,14 @@ def whitelist_housekeeping(sf_dir: str):
     # deterministic slice: smallest 50 event_ids (map_groups output order
     # is scheduling-dependent)
     flagged = terms_within_median(sf_dir).sort_values("event_id").head(50)
+    summaries = ("rare " + flagged["target"].astype(str)
+                 + " in " + flagged["aggregator"].astype(str)).tolist()
     entries = {
-        int(r["event_id"]): [{
+        int(i): [{
             "type": "rare", "reason": "rarely seen target",
-            "summary": f"rare {r['target']} in {r['aggregator']}",
-            "model_name": "rare_users", "model_type": "terms"}]
-        for _, r in flagged.iterrows()
+            "summary": s, "model_name": "rare_users",
+            "model_type": "terms"}]
+        for i, s in zip(flagged["event_id"].to_numpy(np.int64), summaries)
     }
     wl = Whitelist.from_config(regexp_entries=[r"^rare .* in error$"])
     ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
