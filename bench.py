@@ -233,9 +233,24 @@ def scaling() -> None:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     levels = (8, 32)
 
+    # GRAFT_SCALING_WAIT_QUIET=1: gate each rep on a quiet window
+    # (1-min load < 1.5, bounded wait) — neighbor storms inflate a
+    # single rep 2-3x and a storm-polluted level invalidates the ratio
+    wait_quiet = os.environ.get("GRAFT_SCALING_WAIT_QUIET", "0") == "1"
+
+    def _await_quiet(max_wait_s: int = 900) -> None:
+        t0 = time.time()
+        while time.time() - t0 < max_wait_s:
+            with open("/proc/loadavg") as f:
+                if float(f.read().split()[0]) < 1.5:
+                    return
+            time.sleep(20)
+
     def run(ncpu: int) -> dict:
         best = None
         for _ in range(reps):
+            if wait_quiet:
+                _await_quiet()
             # external-noise evidence: loadavg BEFORE the rep is load we
             # did not cause; recorded per-rep so storm-polluted history
             # entries are identifiable from the data alone
