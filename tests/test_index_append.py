@@ -89,3 +89,62 @@ def test_append_rejects_overlapping_ids(tmp_path):
     build_index(d, idx, num_buckets=2, batch_size=100)
     with pytest.raises(ValueError, match="append requires"):
         append_to_index(sorted(glob.glob(os.path.join(d, "*.parquet"))), idx)
+
+
+def test_heavy_hitter_term_skew_split_across_merge_parts(tmp_path):
+    """Worst-case term skew (a stopword in EVERY doc — the north-star's
+    heavy-hitter case): the engine never shuffles raw postings, so the
+    hot term costs nothing in exchange volume; its merged run must SPLIT
+    across the hierarchical merge's doc-range parts (bounded task
+    input), the parts must be doc-disjoint, and query results must be
+    bit-identical to the single-part merge."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ee_outliers_ray.index.build import build_index
+    from ee_outliers_ray.index.codec import decode_run
+    from ee_outliers_ray.query.engine import taat_topk
+    from ee_outliers_ray.query.reader import IndexReader
+
+    n = 4000
+    rng = np.random.default_rng(17)
+    texts = ["hot " + " ".join(f"w{rng.integers(0, 500):03d}"
+                               for _ in range(int(rng.integers(3, 12))))
+             for _ in range(n)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                             "text": texts}), src)
+
+    flat = str(tmp_path / "flat")
+    split = str(tmp_path / "split")
+    build_index(src, flat, from_html=False, num_buckets=4,
+                doc_range_size=512, batch_size=500, merge_parts=1)
+    build_index(src, split, from_html=False, num_buckets=4,
+                doc_range_size=512, batch_size=500, merge_parts=4)
+
+    # the hot term's postings live in >1 part file, each doc-disjoint
+    hot_parts = []
+    for p in glob.glob(os.path.join(split, "segments", "**", "*.parquet"),
+                       recursive=True):
+        t = pq.read_table(p, filters=[("term", "=", "hot")])
+        if t.num_rows:
+            hot_parts.append((p, t))
+    assert len({p for p, _ in hot_parts}) > 1, \
+        "hot term should span multiple merge part files"
+    seen = []
+    for _, t in hot_parts:
+        for r in t.to_pylist():
+            from ee_outliers_ray.index.build import _row_to_run
+            seen.append(decode_run(_row_to_run(r))[0])
+    all_docs = np.sort(np.concatenate(seen))
+    assert len(all_docs) == n                      # every doc, exactly once
+    assert len(np.unique(all_docs)) == n           # disjoint parts
+
+    rf, rs = IndexReader(flat), IndexReader(split)
+    assert rs.df("hot") == n
+    for q in ("hot", "hot w001", "w001 w002 w003"):
+        assert taat_topk(rs, q, 10) == taat_topk(rf, q, 10), q
