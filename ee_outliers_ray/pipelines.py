@@ -744,14 +744,16 @@ def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
     # weakly: 16 lists / probe 12 measures recall 0.8-1.0 per query vs
     # brute force across sf0.001-0.1 (pytest-gated >= 0.8)
     idx = IvfIndex(n_lists=16).fit_dataset(ds, max_sample=4096)
-    assigned = idx.assign_column(ds)
+    # ONE probed pass for all queries (probe_topk_multi) + one brute
+    # pass — not a per-query re-execution of the assign stage
+    ivf_all = idx.probe_topk_multi(idx.assign_column(ds), qm, qids,
+                                   k=k, nprobe=12)
     brute = cosine_topk_multi(ds, qm, qids, k=k)
     if not isinstance(brute, pd.DataFrame):
         brute = brute.to_pandas()
     rows = []
-    for qid, qv in zip(qids, qm):
-        ivf = idx.probe_topk(assigned, qv, k=k, nprobe=12).to_pandas()
-        ivf_ids = set(ivf["vec_id"])
+    for qid in qids:
+        ivf_ids = set(ivf_all[ivf_all["query_id"] == qid]["vec_id"])
         brute_ids = set(brute[brute["query_id"] == qid]["vec_id"])
         n = len(ivf_ids & brute_ids)
         rows.append({"query_id": int(qid), "k": k, "n_overlap": n,

@@ -164,6 +164,60 @@ class IvfIndex:
         return cosine_topk(filtered, query_vec, k=k, vec_col=vec_col,
                            id_col=id_col)
 
+    def probe_topk_multi(self, assigned_ds, query_mat: np.ndarray,
+                         query_ids: np.ndarray, k: int = 10,
+                         nprobe: int = 4, vec_col: str = "embedding",
+                         id_col: str = "vec_id", round_to: int = 6):
+        """All queries' IVF-probed top-k in ONE corpus pass: per-query
+        probe lists become a broadcast (n_lists x n_queries) boolean
+        membership matrix; each batch does one (batch x queries) matmul
+        with non-probed cells masked to -inf, prunes per-query
+        candidates, and the global per-query top-k comes from the tiny
+        candidate union — same answers as per-query ``probe_topk``
+        without re-executing the assign stage once per query."""
+        import ray
+
+        from .broadcast import cached_get
+
+        q = _norm(np.asarray(query_mat, dtype=np.float64))
+        qids = np.asarray(query_ids, dtype=np.int64)
+        order = np.argsort(-(q @ self.centroids.T), axis=1)
+        allow = np.zeros((len(self.centroids), len(qids)), dtype=bool)
+        for qi in range(len(qids)):
+            allow[order[qi, :nprobe], qi] = True
+        qref = ray.put((q, allow))
+
+        def sim(b: pa.Table) -> pa.Table:
+            qm, allow_ = cached_get(qref)
+            m = _norm(_batch_mat(b, vec_col))
+            s = m @ qm.T                                   # (ndoc, nq)
+            lst = b["ivf_list"].to_numpy(zero_copy_only=False)
+            s = np.where(allow_[lst], s, -np.inf)
+            ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            n, nq = s.shape
+            if n > 2 * k:
+                keep = np.argpartition(-s, 2 * k - 1, axis=0)[:2 * k]
+            else:
+                keep = np.tile(np.arange(n)[:, None], (1, nq))
+            qi = np.repeat(np.arange(nq), keep.shape[0])
+            rows = keep.T.reshape(-1)
+            vals = s[rows, qi]
+            ok = np.isfinite(vals)                         # drop non-probed
+            return pa.table({
+                "query_id": pa.array(qids[qi][ok]),
+                id_col: pa.array(ids[rows[ok]]),
+                "cosine": pa.array(vals[ok]),
+            })
+
+        cand = assigned_ds.map_batches(sim, batch_format="pyarrow") \
+            .to_pandas()
+        cand = cand.sort_values(["query_id", "cosine", id_col],
+                                ascending=[True, False, True], kind="stable")
+        out = cand.groupby("query_id", sort=True).head(k) \
+            .reset_index(drop=True)
+        out["cosine"] = duck_round(out["cosine"], round_to)
+        return out
+
 
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
                         bands: int = 4, seed: int = 13,

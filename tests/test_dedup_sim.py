@@ -338,3 +338,28 @@ def test_dedup_keep_list_consistent_with_clusters():
         P.read(sf, "documents", columns=["doc_id"]).count()
     assert len(keep) == n_docs - len(drop)
     assert not np.isin(keep, drop.to_numpy()).any()
+
+
+def test_ivf_probe_multi_equals_single():
+    """probe_topk_multi (one corpus pass for all queries) must return
+    exactly what per-query probe_topk returns."""
+    import pyarrow.parquet as pq
+
+    from ee_outliers_ray import pipelines as P
+    from ee_outliers_ray.similarity import IvfIndex
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(P._t(sf, "embeddings"), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 3)])
+    order = np.argsort(t["vec_id"].to_numpy())
+    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    qids = t["vec_id"].to_numpy()[order]
+    ds = P.read(sf, "embeddings", columns=["vec_id", "embedding"])
+    idx = IvfIndex(n_lists=16).fit_dataset(ds, max_sample=4096)
+    assigned = idx.assign_column(ds)
+    multi = idx.probe_topk_multi(assigned, qm, qids, k=10, nprobe=12)
+    for qid, qv in zip(qids, qm):
+        single = idx.probe_topk(assigned, qv, k=10, nprobe=12).to_pandas()
+        m = multi[multi["query_id"] == qid].reset_index(drop=True)
+        assert single["vec_id"].tolist() == m["vec_id"].tolist()
+        assert np.allclose(single["cosine"], m["cosine"], atol=1e-9)
