@@ -81,8 +81,14 @@ class MediaDecode:
             return self._png_features(decode_png(payload))
         if is_wav(payload):
             # REAL path: pure-stdlib WAV decode (wav.py) -> spectral/
-            # energy features
-            return self._wav_features(payload)
+            # energy features.  A payload that merely LOOKS like RIFF/
+            # WAVE but fails the stdlib reader (truncated, non-PCM)
+            # falls through to the stub instead of crashing the stage.
+            try:
+                return self._wav_features(payload)
+            except Exception:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
                 "non-PNG/WAV media decode requires PIL/ffmpeg, not "

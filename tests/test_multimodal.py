@@ -178,3 +178,14 @@ def test_media_features_real_wav_table():
     assert len(dec._decode_one(wav_payload)) == 16
     with pytest.raises(NotImplementedError):
         dec._decode_one(b"not media")
+
+
+def test_wav_lookalike_payload_falls_to_stub():
+    """A truncated/garbage RIFF/WAVE payload must not crash the decode
+    stage: fake=True falls through to the deterministic stub, fake=False
+    raises."""
+    bad = b"RIFF\x10\x00\x00\x00WAVEjunkjunk"
+    f = MediaDecode(fake=True)._decode_one(bad)
+    assert len(f) == 16
+    with pytest.raises(Exception):
+        MediaDecode(fake=False)._decode_one(bad)
