@@ -84,3 +84,25 @@ def test_roundtrip_property(n, seed):
     d, t = decode_run(run)
     np.testing.assert_array_equal(d, doc_ids)
     np.testing.assert_array_equal(t, tfs)
+
+
+def test_run_members_and_intersection_fuzz():
+    """Block-skip membership (_run_members) over synthetic encoded runs
+    == plain np.isin, across random posting lists that straddle many
+    blocks (the search_and cursor-intersection kernel, minus the
+    reader)."""
+    from ee_outliers_ray.index.codec import encode_postings
+    from ee_outliers_ray.query.engine import _run_members
+
+    rng = np.random.default_rng(41)
+    for trial in range(30):
+        n = int(rng.integers(1, 2000))
+        docs = np.unique(rng.integers(0, 10_000, size=n)).astype(np.int64)
+        tfs = rng.integers(1, 5, size=len(docs)).astype(np.int64)
+        dls = rng.integers(5, 50, size=len(docs)).astype(np.int64)
+        run = encode_postings(docs, tfs, dls)
+        m = int(rng.integers(0, 500))
+        cand = np.unique(rng.integers(0, 10_000, size=m)).astype(np.int64)
+        got = _run_members(run, cand)
+        want = np.isin(cand, docs)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
