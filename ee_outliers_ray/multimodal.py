@@ -3,11 +3,17 @@
 Binary payloads are opaque ``binary`` columns with typed metadata; decode
 and feature-extract are stateful actor-pool ``map_batches`` stages.
 
-PNG images decode FOR REAL via the pure-stdlib codec (`png.py` — zlib
-scanlines + all five spec filters), so the image path is an actual
-pixel pipeline: decode -> per-channel stats features, decode -> resize
--> re-encode.  Other formats (jpeg/audio/video) need PIL/ffmpeg, which
-are NOT in this container, so their kernels stay STUBBED: with
+All three modalities now have a REAL pure-stdlib path:
+  - images: PNG codec (`png.py` — zlib scanlines + all five spec
+    filters): decode -> pixel-stats features, decode -> resize ->
+    re-encode;
+  - audio: WAV/PCM codec (`wav.py`): decode -> spectral/energy
+    features;
+  - video: uncompressed-DIB AVI codec (`avi.py`): decode -> temporal
+    pixel features, and frame sampling that emits each sampled frame
+    re-encoded as PNG so the image stages compose downstream.
+Other formats (jpeg/mp3/h264...) need PIL/ffmpeg, which are NOT in
+this container, so their kernels stay STUBBED: with
 ``fake=True`` they produce a deterministic feature vector from the
 payload bytes (the Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested); with ``fake=False``
@@ -72,7 +78,26 @@ class MediaDecode:
         f[:min(len(vals), self.feature_dim)] = vals[:self.feature_dim]
         return f
 
+    def _avi_features(self, payload: bytes) -> np.ndarray:
+        """Real video features: frame count, dims, fps, duration,
+        global pixel mean/std, per-channel means, temporal motion
+        (mean |frame-to-frame diff|)."""
+        from .avi import decode_avi
+
+        frames, fps = decode_avi(payload)
+        n, h, w, _ = frames.shape
+        px = frames.astype(np.float32)
+        f = np.zeros(self.feature_dim, dtype=np.float32)
+        vals = [n, h, w, fps, n / max(1, fps),
+                px.mean() / 255.0, px.std() / 255.0]
+        vals += [px[..., i].mean() / 255.0 for i in range(3)]
+        vals.append(np.abs(np.diff(px, axis=0)).mean() / 255.0
+                    if n > 1 else 0.0)
+        f[:min(len(vals), self.feature_dim)] = vals[:self.feature_dim]
+        return f
+
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        from .avi import is_avi
         from .png import _SIG, decode_png
         from .wav import is_wav
 
@@ -86,6 +111,15 @@ class MediaDecode:
             # falls through to the stub instead of crashing the stage.
             try:
                 return self._wav_features(payload)
+            except Exception:
+                if not self.fake:
+                    raise
+        if is_avi(payload):
+            # REAL path: pure-stdlib AVI decode (avi.py) -> temporal
+            # pixel features; compressed/truncated AVI falls through
+            # to the stub the same way WAV does.
+            try:
+                return self._avi_features(payload)
             except Exception:
                 if not self.fake:
                     raise
@@ -174,21 +208,46 @@ class MediaResize:
 
 class FrameSampler:
     """Actor-pool stage: video payload -> K evenly-spaced frame payloads
-    (one output row per sampled frame).  The frame extraction is stubbed
-    (a real one would ffmpeg-seek); the fan-out contract — row explosion
-    with frame_idx/frame_ts_ms, payload dropped after sampling — is
-    real."""
+    (one output row per sampled frame).
+
+    Uncompressed-DIB AVI payloads take the REAL path (avi.py): decode,
+    pick K evenly-spaced frames, re-encode each as PNG so the image
+    stages (MediaDecode/MediaResize) compose downstream.  Other codecs
+    would need ffmpeg (not in this container) and keep the stub; the
+    fan-out contract — row explosion with frame_idx/frame_ts_ms,
+    payload dropped after sampling — is identical on both paths."""
 
     def __init__(self, num_frames: int = 4, fake: bool = True):
         self.num_frames = num_frames
         self.fake = fake
 
+    def _sample_avi(self, payload: bytes) -> list[tuple[int, int, bytes]]:
+        from .avi import decode_avi
+        from .png import encode_png
+
+        frames, fps = decode_avi(payload)
+        n = frames.shape[0]
+        k = min(self.num_frames, n)
+        picks = (np.arange(k, dtype=np.int64) * n) // k
+        return [(i, int(j) * 1000 // max(1, fps), encode_png(frames[j]))
+                for i, j in enumerate(picks)]
+
     def _sample_one(self, payload: bytes, duration_ms: int
                     ) -> list[tuple[int, int, bytes]]:
+        from .avi import is_avi
+
+        if is_avi(payload):
+            # REAL path; compressed ('00dc') or truncated AVI falls
+            # through to the stub, mirroring MediaDecode's WAV rule.
+            try:
+                return self._sample_avi(payload)
+            except Exception:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
-                "frame sampling requires ffmpeg, not available here; "
-                "run with fake=True for the deterministic stub")
+                "non-AVI frame sampling requires ffmpeg, not available "
+                "here; run with fake=True for the deterministic stub")
         arr = np.frombuffer(payload, dtype=np.uint8)
         k = self.num_frames
         out = []
@@ -243,15 +302,16 @@ def sample_frames(ds, *, num_frames: int = 4, fake: bool = True,
 
 def synth_media_table(n: int = 64, seed: int = 5,
                       real_png: bool = False,
-                      real_wav: bool = False) -> pa.Table:
+                      real_wav: bool = False,
+                      real_avi: bool = False) -> pa.Table:
     """Deterministic synthetic media table matching MEDIA_SCHEMA.
 
     ``real_png=True``: image rows carry actual (decodable) PNG payloads
     with matching width/height metadata — drives the real decode path.
     ``real_wav=True``: audio rows carry actual 16-bit PCM WAV payloads
     (seeded tone + noise mixtures) with matching duration_ms metadata.
-    Video rows stay opaque bytes (ffmpeg-shaped decode remains a
-    declared stub)."""
+    ``real_avi=True``: video rows carry actual uncompressed-DIB AVI
+    payloads with matching width/height/duration_ms metadata."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])
     kind_col = kinds[rng.integers(0, 3, size=n)]
@@ -266,6 +326,18 @@ def synth_media_table(n: int = 64, seed: int = 5,
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
             payloads.append(encode_png(img, filter_mode="cycle"))
             mimes.append("image/png")
+        elif real_avi and kind_col[i] == "video":
+            from .avi import encode_avi
+
+            fps = 10
+            nf = int(rng.integers(2, 7))
+            h = int(rng.integers(8, 17))
+            w = int(rng.integers(8, 17))
+            frames = rng.integers(0, 256,
+                                  size=(nf, h, w, 3)).astype(np.uint8)
+            payloads.append(encode_avi(frames, fps=fps))
+            mimes.append("video/x-msvideo")
+            durations[i] = nf * 1000 // fps
         elif real_wav and kind_col[i] == "audio":
             from .wav import encode_wav
 

@@ -1261,16 +1261,18 @@ def whitelist_housekeeping(sf_dir: str):
 
 def media_features(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
-    table (payload columns are not part of the driver testdata).  Image
-    rows carry REAL PNG payloads (pure-stdlib codec, png.py); audio
-    rows carry REAL 16-bit PCM WAV payloads (stdlib ``wave``, wav.py)
-    and decode into spectral/energy features; only video remains the
-    declared deterministic stub (ffmpeg absent)."""
+    table (payload columns are not part of the driver testdata).  All
+    three modalities take REAL pure-stdlib decode paths: image rows
+    carry PNG payloads (png.py), audio rows 16-bit PCM WAV (wav.py ->
+    spectral/energy features), video rows uncompressed-DIB AVI (avi.py
+    -> temporal pixel features); ``fake=False`` asserts no row can
+    silently fall back to the stub."""
     import ray.data
 
     from .multimodal import decode_features, synth_media_table
 
     ds = ray.data.from_arrow(synth_media_table(n=64, seed=5,
                                                real_png=True,
-                                               real_wav=True))
-    return decode_features(ds, fake=True)
+                                               real_wav=True,
+                                               real_avi=True))
+    return decode_features(ds, fake=False)
