@@ -58,10 +58,26 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
 
 
 def _unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of _pack_bits: buf is a uint8 array; returns uint64[n]."""
-    bits = np.unpackbits(buf[:, None], axis=1)[:, ::-1].reshape(-1)
-    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
-    return bits @ _POW2[:width]
+    """Inverse of _pack_bits: buf is a uint8 array; returns uint64[n].
+
+    Strided-gather kernel: an unaligned stride-1 little-endian uint64
+    window over the (8-byte-padded) payload turns each value into ONE
+    gather + shift + mask — measured ~4-15x faster than the former
+    unpackbits+matmul at real posting widths (4-30 bits), and
+    width-independent.  A value whose shift (<=7) plus width exceeds
+    the 64-bit window would straddle a 9th byte, so widths > 57 fall
+    back to the bit-matrix path (unreached by real postings: doc
+    deltas and tf-1 sit far below)."""
+    if width > 57:
+        bits = np.unpackbits(buf[:, None], axis=1)[:, ::-1].reshape(-1)
+        bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+        return bits @ _POW2[:width]
+    bitpos = np.arange(n, dtype=np.int64) * width
+    b = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    win = np.ndarray(buffer=b, dtype="<u8", shape=(len(b) - 7,),
+                     strides=(1,))
+    return (win[bitpos >> 3] >> ((bitpos & 7).view(np.uint64)) ) \
+        & np.uint64((1 << width) - 1)
 
 
 @dataclass
@@ -148,9 +164,11 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
 
     Blocks sharing (length, doc-width, tf-width) — the vast majority, as
     full blocks of a posting list tend to have similar delta magnitudes —
-    are decoded together: their payload slices stack into one matrix and
-    unpack in a single ``np.unpackbits`` call, so a 15k-block stopword run
-    decodes in a few numpy ops instead of 15k Python iterations.
+    are decoded together with the strided-gather kernel: one unaligned
+    uint64 window over the whole (padded) payload, and per shape class a
+    single (k, n) absolute-position gather + shift + mask for deltas and
+    tfs each.  A 15k-block stopword run decodes in a few numpy ops with
+    no per-block Python work and no bit-matrix expansion.
     """
     nblocks = len(run.block_len)
     if nblocks == 1:
@@ -163,11 +181,21 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
     firsts = np.asarray(run.block_first_doc, dtype=np.int64)
     wds = buf[offs].astype(np.int64)
     wts = buf[offs + 1].astype(np.int64)
+    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    win = np.ndarray(buffer=padded, dtype="<u8", shape=(len(padded) - 7,),
+                     strides=(1,))
 
     out_d = np.empty(int(lens.sum()), dtype=np.int64)
     out_t = np.empty(int(lens.sum()), dtype=np.int64)
     out_starts = np.zeros(nblocks + 1, dtype=np.int64)
     np.cumsum(lens, out=out_starts[1:])
+
+    def _gather(byte0: np.ndarray, n: int, width: int) -> np.ndarray:
+        """(k,) absolute start bytes -> (k, n) unpacked uint64 values."""
+        bitpos = np.arange(n, dtype=np.int64) * width
+        pos = byte0[:, None] + (bitpos >> 3)[None, :]
+        shift = (bitpos & 7).view(np.uint64)
+        return (win[pos] >> shift[None, :]) & np.uint64((1 << width) - 1)
 
     shape_key = (lens << 16) | (wds << 8) | wts
     for key in np.unique(shape_key):
@@ -176,24 +204,23 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
         wd = int(wds[sel[0]])
         wt = int(wts[sel[0]])
         nd = (n * wd + 7) // 8
-        nt = (n * wt + 7) // 8
-        # gather payload slices for all same-shape blocks -> (k, bytes)
         starts = offs[sel] + 2
-        idx = starts[:, None] + np.arange(nd + nt, dtype=np.int64)[None, :]
-        mat = buf[idx]
-        k = len(sel)
-        dbits = np.unpackbits(mat[:, :nd].reshape(k, nd, 1), axis=2)
-        dbits = dbits[:, :, ::-1].reshape(k, nd * 8)[:, : n * wd]
-        deltas = dbits.reshape(k, n, wd).astype(np.uint64) @ _POW2[:wd]
-        tbits = np.unpackbits(mat[:, nd: nd + nt].reshape(k, nt, 1), axis=2)
-        tbits = tbits[:, :, ::-1].reshape(k, nt * 8)[:, : n * wt]
-        tfs = tbits.reshape(k, n, wt).astype(np.uint64) @ _POW2[:wt] + 1
-        docs = np.cumsum(deltas.astype(np.int64), axis=1) + firsts[sel][:, None]
+        if max(wd, wt) > 57:  # 9-byte straddle: per-block fallback
+            for bi in sel:
+                d, t = decode_block(run.payload, int(offs[bi]), n,
+                                    int(firsts[bi]))
+                out_d[out_starts[bi]: out_starts[bi] + n] = d
+                out_t[out_starts[bi]: out_starts[bi] + n] = t
+            continue
+        deltas = _gather(starts, n, wd)
+        tfs = _gather(starts + nd, n, wt) + np.uint64(1)
+        docs = np.cumsum(deltas.view(np.int64), axis=1) \
+            + firsts[sel][:, None]
         # scatter into output positions
         pos = out_starts[sel]
         tgt = (pos[:, None] + np.arange(n, dtype=np.int64)[None, :]).reshape(-1)
         out_d[tgt] = docs.reshape(-1)
-        out_t[tgt] = tfs.reshape(-1).astype(np.int64)
+        out_t[tgt] = tfs.reshape(-1).view(np.int64)
     return out_d, out_t
 
 
