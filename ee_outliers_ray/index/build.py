@@ -315,15 +315,36 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
             k = len(sel)
             gather = b_starts[sel][:, None] + np.arange(L, dtype=np.int64)
             vals = values[gather].astype(np.uint64)          # (k, L)
-            bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64)) & 1) \
-                .astype(np.uint8).reshape(k, L * w)
-            pad = (-bits.shape[1]) % 8
-            if pad:
-                bits = np.concatenate(
-                    [bits, np.zeros((k, pad), dtype=np.uint8)], axis=1)
-            nbytes = bits.shape[1] // 8
-            packed = np.packbits(bits.reshape(k, nbytes, 8)[:, :, ::-1],
-                                 axis=2).reshape(k, nbytes)
+            nbytes = (L * w + 7) // 8
+            if 4 <= w <= 57:
+                # word-lane kernel (codec._pack_bits, 2-D form): each
+                # output uint64 word ORs the <=64//w+2 values that
+                # overlap its bit range; byte-identical by construction
+                nw = (nbytes + 7) // 8
+                q = np.arange(nw, dtype=np.int64) * 64
+                m = 64 // w + 2
+                idx = (q // w)[:, None] + np.arange(m, dtype=np.int64)
+                s = idx * w - q[:, None]
+                np.minimum(idx, L, out=idx)
+                vp = np.concatenate(
+                    [vals, np.zeros((k, 1), dtype=np.uint64)], axis=1)
+                vg = vp[:, idx]                              # (k, nw, m)
+                pos = np.where((s >= 0) & (s < 64), s, 0).astype(np.uint64)
+                neg = np.where(s < 0, -s, 0).astype(np.uint64)
+                contrib = np.where(s >= 0, vg << pos[None], vg >> neg[None])
+                contrib[:, s >= 64] = 0
+                packed = np.ascontiguousarray(
+                    np.bitwise_or.reduce(contrib, axis=2)) \
+                    .view(np.uint8).reshape(k, nw * 8)[:, :nbytes]
+            else:
+                bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64))
+                        & 1).astype(np.uint8).reshape(k, L * w)
+                pad = (-bits.shape[1]) % 8
+                if pad:
+                    bits = np.concatenate(
+                        [bits, np.zeros((k, pad), dtype=np.uint8)], axis=1)
+                packed = np.packbits(bits.reshape(k, nbytes, 8)[:, :, ::-1],
+                                     axis=2).reshape(k, nbytes)
             tgt = data_off[sel][:, None] + np.arange(nbytes, dtype=np.int64)
             buf[tgt.reshape(-1)] = packed.reshape(-1)
 
