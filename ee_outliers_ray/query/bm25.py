@@ -26,10 +26,25 @@ def idf(n_docs: int, df: int) -> float:
 
 def term_weight(tf: np.ndarray, dl: np.ndarray, idf_val: float, avgdl: float,
                 k1: float = BM25_K1, b: float = BM25_B) -> np.ndarray:
-    """Vectorized BM25 contribution of one term over its postings."""
-    tf = tf.astype(np.float64)
-    dl = dl.astype(np.float64)
-    return idf_val * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    """Vectorized BM25 contribution of one term over its postings.
+
+    In-place form of ``idf * tf * (k1+1) / (tf + k1 * (1-b + b*dl/avgdl))``
+    — two allocations instead of ~eight 8-byte-per-posting temporaries
+    (a 16M-posting stopword list churns >1 GB otherwise).  Only
+    commutativity is used (a*b == b*a, a+b == b+a bitwise in IEEE754);
+    no reassociation, so results stay BIT-IDENTICAL to the plain
+    expression (golden BM25 + oracle gates depend on this)."""
+    num = tf.astype(np.float64)
+    num *= idf_val                  # (idf * tf)
+    num *= (k1 + 1.0)               # ... * (k1+1), same order as before
+    den = dl.astype(np.float64)
+    den *= b                        # (b * dl)
+    den /= avgdl                    # ... / avgdl
+    den += (1.0 - b)                # (1-b) + x  ==  x + (1-b)
+    den *= k1                       # k1 * x     ==  x * k1
+    den += tf                       # tf + x     ==  x + tf
+    num /= den
+    return num
 
 
 def block_upper_bound(idf_val: float, max_tf: np.ndarray, min_dl: np.ndarray,
