@@ -112,6 +112,40 @@ def _run_to_row(term: str, bucket: int, rng: int, run: EncodedRun) -> dict:
     }
 
 
+def write_segment_table(table: pa.Table, path: str,
+                        target_bytes: int = 4 << 20,
+                        max_rows: int = 256) -> None:
+    """Write a (term-sorted) segment table with SIZE-AWARE row groups: a
+    new row group starts when the accumulated payload bytes would exceed
+    ``target_bytes`` or the row count ``max_rows``.  Terms are sorted,
+    so each row group carries a tight term min/max — the reader's
+    per-term predicate-pushdown read then decodes only the matching row
+    group(s) instead of the whole bucket file.  A hot term's multi-MB
+    payload forms (roughly) its own group; the old fixed
+    row_group_size=4096 made one giant group whose EVERY payload was
+    decompressed for EVERY term lookup — O(bucket bytes) read
+    amplification per query term at web-scale vocabularies."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        pq.write_table(table, path)
+        return
+    sizes = pc.binary_length(table["payload"]).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    cuts = [0]
+    acc = rows = 0
+    for i, s in enumerate(sizes.tolist()):
+        if rows and (acc + s > target_bytes or rows >= max_rows):
+            cuts.append(i)
+            acc = rows = 0
+        acc += s
+        rows += 1
+    cuts.append(table.num_rows)
+    with pq.ParquetWriter(path, table.schema) as w:
+        for lo, hi in zip(cuts[:-1], cuts[1:]):
+            w.write_table(table.slice(lo, hi - lo))
+
+
 def _row_to_run(row) -> EncodedRun:
     return EncodedRun(
         payload=row["payload"],
@@ -739,12 +773,13 @@ def build_index(pages_path: str, index_dir: str, *,
                                else _RUN_SCHEMA).empty_table()
             os.makedirs(seg_dir, exist_ok=True)
             tmp = seg_path + f".tmp{os.getpid()}"
-            pq.write_table(m, tmp, row_group_size=4096)
+            write_segment_table(m, tmp)
             os.rename(tmp, seg_path)
             rows.append({
                 "bucket": b, "part": pi, "n_terms": m.num_rows,
                 "n_postings": int(pc.sum(m["df"]).as_py() or 0),
-                "n_bytes": int(sum(len(p) for p in m["payload"].to_pylist())),
+                "n_bytes": int(pc.sum(pc.binary_length(m["payload"]))
+                               .as_py() or 0),
                 "skipped": False, "wall_s": round(time.time() - tb0, 4),
             })
         return pa.Table.from_pylist(rows, schema=_MANIFEST_SCHEMA)
