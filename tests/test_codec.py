@@ -106,3 +106,41 @@ def test_run_members_and_intersection_fuzz():
         got = _run_members(run, cand)
         want = np.isin(cand, docs)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 63), st.integers(1, 500), st.integers(0, 2**31))
+def test_pack_unpack_width_sweep(width, n, seed):
+    """Kernel-level pin across EVERY width, straddling both internal
+    cutoffs (word-lane pack for widths 4-57, strided-gather unpack for
+    widths <= 57, bit-matrix fallbacks outside) — the two sides must
+    stay a bijection at every width, not just the ones real postings
+    produce."""
+    from ee_outliers_ray.index.codec import _pack_bits, _unpack_bits
+
+    rng = np.random.default_rng(seed)
+    hi = (1 << width) - 1
+    vals = rng.integers(0, hi, size=n, endpoint=True).astype(np.uint64)
+    packed = np.frombuffer(_pack_bits(vals, width), dtype=np.uint8)
+    assert len(packed) == (n * width + 7) // 8
+    got = _unpack_bits(packed, n, width)
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_roundtrip_extreme_deltas():
+    """Doc gaps wider than 57 bits force the bit-matrix fallbacks on
+    both sides (pack >57, unpack >57, decode_run per-block fallback) —
+    unreachable by realistic corpora, so pin it directly."""
+    doc_ids = np.array([0, 1, (1 << 60) + 5, (1 << 62) + 9], dtype=np.int64)
+    tfs = np.array([1, 7, 2, (1 << 58) + 3], dtype=np.int64)
+    dls = np.array([10, 20, 30, 40], dtype=np.int64)
+    run = encode_postings(doc_ids, tfs, dls)
+    d, t = decode_run(run)
+    np.testing.assert_array_equal(d, doc_ids)
+    np.testing.assert_array_equal(t, tfs)
+    # multi-block form exercises decode_run's per-block >57-bit fallback
+    run2 = encode_postings(doc_ids, tfs, dls, block_size=2)
+    assert len(run2.block_len) == 2
+    d2, t2 = decode_run(run2)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(t2, tfs)
