@@ -113,8 +113,15 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 us_per_frame = struct.unpack_from("<I", buf, blo)[0] or \
                     us_per_frame
                 w, h = struct.unpack_from("<II", buf, blo + 32)
-            elif fourcc == b"strf" and w is None:
-                _, w, h = struct.unpack_from("<Iii", buf, blo)
+            elif fourcc == b"strf":
+                _, sw, sh, _, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", buf, blo)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"unsupported DIB format (biBitCount={bpp}, "
+                        f"biCompression={comp}); only uncompressed RGB24")
+                if w is None:
+                    w, h = sw, sh
             elif fourcc == b"00db":
                 raw_frames.append(bytes(buf[blo:bhi]))
             elif fourcc == b"00dc":

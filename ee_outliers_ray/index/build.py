@@ -50,7 +50,7 @@ import pyarrow.parquet as pq
 
 from ..extract import HtmlExtract
 from ..tokenizer import tokenize_column
-from .codec import EncodedRun, concat_runs, encode_postings
+from .codec import EncodedRun, concat_runs, encode_postings, pack_words
 
 DEFAULT_NUM_BUCKETS = 32
 DEFAULT_DOC_RANGE_SIZE = 1 << 20  # doc-range granularity recorded on runs
@@ -351,25 +351,8 @@ def _encode_terms_vectorized(u_term: np.ndarray, doc: np.ndarray,
             vals = values[gather].astype(np.uint64)          # (k, L)
             nbytes = (L * w + 7) // 8
             if 4 <= w <= 57:
-                # word-lane kernel (codec._pack_bits, 2-D form): each
-                # output uint64 word ORs the <=64//w+2 values that
-                # overlap its bit range; byte-identical by construction
-                nw = (nbytes + 7) // 8
-                q = np.arange(nw, dtype=np.int64) * 64
-                m = 64 // w + 2
-                idx = (q // w)[:, None] + np.arange(m, dtype=np.int64)
-                s = idx * w - q[:, None]
-                np.minimum(idx, L, out=idx)
-                vp = np.concatenate(
-                    [vals, np.zeros((k, 1), dtype=np.uint64)], axis=1)
-                vg = vp[:, idx]                              # (k, nw, m)
-                pos = np.where((s >= 0) & (s < 64), s, 0).astype(np.uint64)
-                neg = np.where(s < 0, -s, 0).astype(np.uint64)
-                contrib = np.where(s >= 0, vg << pos[None], vg >> neg[None])
-                contrib[:, s >= 64] = 0
-                packed = np.ascontiguousarray(
-                    np.bitwise_or.reduce(contrib, axis=2)) \
-                    .view(np.uint8).reshape(k, nw * 8)[:, :nbytes]
+                # the ONE shared word-lane kernel (codec.pack_words)
+                packed = pack_words(vals, w)
             else:
                 bits = ((vals[:, :, None] >> np.arange(w, dtype=np.uint64))
                         & 1).astype(np.uint8).reshape(k, L * w)

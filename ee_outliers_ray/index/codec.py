@@ -46,32 +46,47 @@ def _bit_width(max_val: int) -> int:
     return max(1, int(max_val).bit_length())
 
 
+def pack_words(vals: np.ndarray, width: int) -> np.ndarray:
+    """Word-lane bit-pack (widths 4-57): (k, L) uint64 values ->
+    (k, nbytes) uint8 little-endian packed rows.
+
+    Each output uint64 word is the OR of the <= 64//width + 2 values
+    overlapping its bit range, shifted into lane — ~2x the bit-matrix
+    throughput at widths >= 8 and byte-identical by construction
+    (width-sweep property test).  Words are serialized EXPLICITLY
+    little-endian ('<u8'; a no-op on LE hosts) so the on-disk layout is
+    platform-invariant like the packbits path it replaced.  This is the
+    ONE copy of the lane math — codec._pack_bits and the build's
+    grouped encoder both call it (CLAUDE.md: never fork it)."""
+    k, L = vals.shape
+    nbytes = (L * width + 7) // 8
+    nw = (nbytes + 7) // 8
+    q = np.arange(nw, dtype=np.int64) * 64
+    m = 64 // width + 2
+    idx = (q // width)[:, None] + np.arange(m, dtype=np.int64)[None, :]
+    s = idx * width - q[:, None]
+    np.minimum(idx, L, out=idx)
+    vp = np.concatenate([vals, np.zeros((k, 1), dtype=np.uint64)], axis=1)
+    vg = vp[:, idx]                                      # (k, nw, m)
+    pos = np.where((s >= 0) & (s < 64), s, 0).astype(np.uint64)
+    neg = np.where(s < 0, -s, 0).astype(np.uint64)
+    contrib = np.where(s >= 0, vg << pos[None], vg >> neg[None])
+    contrib[:, s >= 64] = 0
+    words = np.ascontiguousarray(np.bitwise_or.reduce(contrib, axis=2)) \
+        .astype("<u8", copy=False)
+    return words.view(np.uint8).reshape(k, nw * 8)[:, :nbytes]
+
+
 def _pack_bits(values: np.ndarray, width: int) -> bytes:
     """Pack uint64 values (< 2**width) into a little-endian bitstream.
 
-    Width >= 4 uses the word-lane kernel: each output uint64 word is the
-    OR of the <= 64//width + 2 values overlapping its bit range, shifted
-    into place — ~2x the bit-matrix throughput at widths >= 8 and
-    byte-identical by construction (cross-validated across widths 1-57).
-    Narrow widths (1-3) keep the bit-matrix + packbits path, which wins
+    Width >= 4 routes through the shared ``pack_words`` lane kernel;
+    narrow widths (1-3) keep the bit-matrix + packbits path, which wins
     there because the lane tables outgrow the bit expansion."""
     n = len(values)
     if 4 <= width <= 57 and n:
-        v = np.concatenate([values.astype(np.uint64, copy=False),
-                            np.zeros(1, dtype=np.uint64)])
-        nbytes = (n * width + 7) // 8
-        nw = (nbytes + 7) // 8
-        q = np.arange(nw, dtype=np.int64) * 64
-        m = 64 // width + 2
-        idx = (q // width)[:, None] + np.arange(m, dtype=np.int64)[None, :]
-        s = idx * width - q[:, None]
-        np.minimum(idx, n, out=idx)
-        vg = v[idx]
-        pos = np.where((s >= 0) & (s < 64), s, 0).astype(np.uint64)
-        neg = np.where(s < 0, -s, 0).astype(np.uint64)
-        contrib = np.where(s >= 0, vg << pos, vg >> neg)
-        contrib[s >= 64] = 0
-        return np.bitwise_or.reduce(contrib, axis=1).tobytes()[:nbytes]
+        v = values.astype(np.uint64, copy=False)
+        return pack_words(v[None, :], width)[0].tobytes()
     bits = ((values[:, None] >> np.arange(width, dtype=np.uint64)) & 1).astype(np.uint8)
     flat = bits.reshape(-1)
     pad = (-len(flat)) % 8
@@ -80,27 +95,40 @@ def _pack_bits(values: np.ndarray, width: int) -> bytes:
     return np.packbits(flat.reshape(-1, 8)[:, ::-1], axis=1).tobytes()
 
 
-def _unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
-    """Inverse of _pack_bits: buf is a uint8 array; returns uint64[n].
+def bits_window(buf: np.ndarray) -> np.ndarray:
+    """8-byte-pad ``buf`` (uint8) and return an unaligned stride-1
+    little-endian uint64 window over it: ``win[i]`` is bytes [i, i+8)
+    as one LE word.  The window keeps the padded copy alive via its
+    ``.base`` reference."""
+    b = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
+    return np.ndarray(buffer=b, dtype="<u8", shape=(len(b) - 7,),
+                      strides=(1,))
 
-    Strided-gather kernel: an unaligned stride-1 little-endian uint64
-    window over the (8-byte-padded) payload turns each value into ONE
-    gather + shift + mask — measured ~4-15x faster than the former
-    unpackbits+matmul at real posting widths (4-30 bits), and
-    width-independent.  A value whose shift (<=7) plus width exceeds
-    the 64-bit window would straddle a 9th byte, so widths > 57 fall
-    back to the bit-matrix path (unreached by real postings: doc
-    deltas and tf-1 sit far below)."""
+
+def gather_words(win: np.ndarray, byte0: np.ndarray, n: int,
+                 width: int) -> np.ndarray:
+    """Strided-gather bit-unpack (widths <= 57): for each of the (k,)
+    start bytes, unpack ``n`` ``width``-bit values -> (k, n) uint64.
+    ONE gather + shift + mask per value, width-independent — measured
+    ~4-15x the former unpackbits+matmul at real posting widths.  A
+    value whose shift (<=7) plus width exceeds the 64-bit window would
+    straddle a 9th byte, hence the <= 57 contract (callers fall back to
+    the bit-matrix path above it).  This is the ONE copy of the gather
+    math — ``_unpack_bits`` and ``decode_run`` both call it."""
+    bitpos = np.arange(n, dtype=np.int64) * width
+    pos = byte0[:, None] + (bitpos >> 3)[None, :]
+    shift = (bitpos & 7).view(np.uint64)
+    return (win[pos] >> shift[None, :]) & np.uint64((1 << width) - 1)
+
+
+def _unpack_bits(buf: np.ndarray, n: int, width: int) -> np.ndarray:
+    """Inverse of _pack_bits: buf is a uint8 array; returns uint64[n]."""
     if width > 57:
         bits = np.unpackbits(buf[:, None], axis=1)[:, ::-1].reshape(-1)
         bits = bits[: n * width].reshape(n, width).astype(np.uint64)
         return bits @ _POW2[:width]
-    bitpos = np.arange(n, dtype=np.int64) * width
-    b = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
-    win = np.ndarray(buffer=b, dtype="<u8", shape=(len(b) - 7,),
-                     strides=(1,))
-    return (win[bitpos >> 3] >> ((bitpos & 7).view(np.uint64)) ) \
-        & np.uint64((1 << width) - 1)
+    return gather_words(bits_window(buf), np.zeros(1, dtype=np.int64),
+                        n, width)[0]
 
 
 @dataclass
@@ -204,21 +232,12 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
     firsts = np.asarray(run.block_first_doc, dtype=np.int64)
     wds = buf[offs].astype(np.int64)
     wts = buf[offs + 1].astype(np.int64)
-    padded = np.concatenate([buf, np.zeros(8, dtype=np.uint8)])
-    win = np.ndarray(buffer=padded, dtype="<u8", shape=(len(padded) - 7,),
-                     strides=(1,))
+    win = bits_window(buf)
 
     out_d = np.empty(int(lens.sum()), dtype=np.int64)
     out_t = np.empty(int(lens.sum()), dtype=np.int64)
     out_starts = np.zeros(nblocks + 1, dtype=np.int64)
     np.cumsum(lens, out=out_starts[1:])
-
-    def _gather(byte0: np.ndarray, n: int, width: int) -> np.ndarray:
-        """(k,) absolute start bytes -> (k, n) unpacked uint64 values."""
-        bitpos = np.arange(n, dtype=np.int64) * width
-        pos = byte0[:, None] + (bitpos >> 3)[None, :]
-        shift = (bitpos & 7).view(np.uint64)
-        return (win[pos] >> shift[None, :]) & np.uint64((1 << width) - 1)
 
     shape_key = (lens << 16) | (wds << 8) | wts
     for key in np.unique(shape_key):
@@ -235,8 +254,8 @@ def decode_run(run: EncodedRun) -> tuple[np.ndarray, np.ndarray]:
                 out_d[out_starts[bi]: out_starts[bi] + n] = d
                 out_t[out_starts[bi]: out_starts[bi] + n] = t
             continue
-        deltas = _gather(starts, n, wd)
-        tfs = _gather(starts + nd, n, wt) + np.uint64(1)
+        deltas = gather_words(win, starts, n, wd)
+        tfs = gather_words(win, starts + nd, n, wt) + np.uint64(1)
         docs = np.cumsum(deltas.view(np.int64), axis=1) \
             + firsts[sel][:, None]
         # scatter into output positions

@@ -230,7 +230,11 @@ class BlockMaxPruning:
                                int(run.block_len[bi]),
                                int(run.block_first_doc[bi]))
             if self._blocks_postings + len(hit[0]) > self.DECODED_CACHE_LIMIT:
+                # _blocks_postings counts BOTH caches — clear both, or
+                # dense entries stay alive but uncounted and the cap is
+                # silently exceeded
                 self._blocks.clear()
+                self._dense.clear()
                 self._blocks_postings = 0
             self._blocks[key] = hit
             self._blocks_postings += len(hit[0])

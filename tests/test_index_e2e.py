@@ -299,3 +299,17 @@ def test_bmp_block_cache_bounded(reader, query="the data"):
     assert sparse.topk(query, 10) == want
     assert not sparse._dense
     assert sparse._blocks_postings <= 64 + 128
+
+    # block-path eviction must drop dense entries too — the counter is
+    # shared, so clearing only _blocks would leave dense arrays alive
+    # but uncounted (regression: round-4 review finding)
+    mixed = BlockMaxPruning(reader)
+    mixed.DECODED_CACHE_LIMIT = 64
+    assert mixed.topk(query, 10) == want   # dense entries inserted
+    assert mixed._dense
+    mixed.DENSE_DIVISOR = 0
+    assert mixed.topk(query, 10) == want   # block inserts -> overflow
+    assert not mixed._dense
+    held = sum(len(d) for d, _, _ in mixed._dense.values()) \
+        + sum(len(h[0]) for h in mixed._blocks.values())
+    assert held == mixed._blocks_postings  # counter matches holdings
