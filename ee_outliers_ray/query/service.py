@@ -12,18 +12,22 @@ import ray
 
 @ray.remote
 class QueryActor:
-    """mode="taat": vectorized scorer (sandbox serving path);
-    mode="wand": block-max WAND (the 10^12-doc skip path — rank- and
-    score-identical to taat, pytest-verified)."""
+    """mode="taat": vectorized scorer with request/weight caches;
+    mode="bmp": vectorized block-max range pruning (the 10^12-doc skip
+    path — never decodes postings outside visited ranges, dense terms
+    take the cached full-decode path); mode="wand": per-doc block-max
+    WAND, the accumulator-free reference.  All three are rank- AND
+    score-identical (pytest-verified)."""
 
     def __init__(self, index_dir: str, mode: str = "taat",
                  result_cache: bool = True):
-        from .engine import BlockMaxWand, TaatSearcher
+        from .engine import BlockMaxPruning, BlockMaxWand, TaatSearcher
         from .reader import IndexReader
 
         self.reader = IndexReader(index_dir)
-        self.engine = (TaatSearcher(self.reader) if mode == "taat"
-                       else BlockMaxWand(self.reader))
+        self.engine = {"taat": TaatSearcher,
+                       "bmp": BlockMaxPruning,
+                       "wand": BlockMaxWand}[mode](self.reader)
         if mode == "taat" and not result_cache:
             self.engine.result_cache_size = 0
 

@@ -55,3 +55,23 @@ def test_topk_many_equals_per_query(setup):
     batch = svc.topk_many(queries, k=10)
     for q, r in zip(queries, batch):
         assert r == svc.topk(q, k=10)
+
+
+def test_query_pool_modes_identical(setup):
+    """The QueryActor pool surface serves identical results in all
+    three engine modes (taat / bmp / wand)."""
+    import ray
+
+    from ee_outliers_ray.query.service import query_pool, run_queries
+
+    single, _ = setup
+    want = None
+    for mode in ("taat", "bmp", "wand"):
+        pool = query_pool(single, n_actors=2, mode=mode)
+        got = run_queries(pool, QUERIES[:-1], k=10)
+        if want is None:
+            want = got
+        else:
+            assert got == want, mode
+        for a in pool:
+            ray.kill(a)
