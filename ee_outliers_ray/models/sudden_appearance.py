@@ -152,17 +152,31 @@ def sudden_appearance_model(ds, aggregator, target, *, ts_col: str,
         keep = rows != 0
         out = _out_frame(b, rows[keep], widx[keep], ts)
         out["_kind"] = "o"
-        out["_tail_aggregator"] = None
-        out["_tail_target"] = None
-        out["_tail_ts"] = pd.NaT
+        # explicit dtypes on the all-NA columns: pandas' future concat
+        # behavior stops excluding all-NA entries from dtype inference,
+        # so give both sides matching dtypes up front (kills the
+        # FutureWarning and pins the result dtype either way)
+        out["_tail_aggregator"] = pd.Series(None, index=out.index,
+                                            dtype=object)
+        out["_tail_target"] = pd.Series(None, index=out.index, dtype=object)
+        out["_tail_ts"] = pd.Series(pd.NaT, index=out.index,
+                                    dtype="datetime64[us]")
         bnd = b.iloc[[0]].copy().reset_index(drop=True)
         for c in ("win_start", "win_end", "first_ts"):
-            bnd[c] = pd.NaT
+            # explicit us dtype: a bare pd.NaT scalar makes an all-NA
+            # ns column, which both mismatches `out` and trips pandas'
+            # all-NA-entry concat deprecation
+            bnd[c] = pd.Series(pd.NaT, index=bnd.index,
+                               dtype="datetime64[us]")
         bnd["_kind"] = "b"
         bnd["_tail_aggregator"] = agg[-1]
         bnd["_tail_target"] = tgt[-1]
         bnd["_tail_ts"] = pd.Timestamp(ts[-1].astype("datetime64[us]"))
-        out = pd.concat([out, bnd], ignore_index=True)
+        # exclude empty frames from the concat: pandas deprecates dtype
+        # inference over empty/all-NA entries, and `out` is legitimately
+        # empty whenever a batch flags no events
+        out = bnd if out.empty else pd.concat([out, bnd],
+                                              ignore_index=True)
         for c in ("win_start", "win_end", "first_ts", "_tail_ts"):
             out[c] = out[c].astype("datetime64[us]")
         return out[schema_cols]
