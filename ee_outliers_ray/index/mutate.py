@@ -277,5 +277,7 @@ def compact_index(index_dir: str, *,
     # tombstones drop LAST: until here every reader stays correct
     shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return {**new_stats, "n_compacted": int(len(tombs)),
-            "n_run_postings_removed": int(n_rewritten),
+            # whole run ROWS dropped (a row survives, shrunk, when only
+            # some of its postings are tombstoned)
+            "n_run_rows_removed": int(n_rewritten),
             "n_docs_removed": int(n_docs_removed)}
