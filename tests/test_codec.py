@@ -144,3 +144,36 @@ def test_roundtrip_extreme_deltas():
     d2, t2 = decode_run(run2)
     np.testing.assert_array_equal(d2, doc_ids)
     np.testing.assert_array_equal(t2, tfs)
+
+
+def test_write_segment_table_row_groups(tmp_path):
+    """Size-aware segment writer: row groups respect the byte/row caps,
+    terms stay in order, and the reassembled table is byte-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    n = 40
+    payloads = [rng.integers(0, 256, size=int(sz)).astype(np.uint8).tobytes()
+                for sz in rng.integers(10, 5000, size=n)]
+    t = pa.table({"term": [f"t{i:04d}" for i in range(n)],
+                  "payload": pa.array(payloads, type=pa.binary())})
+    from ee_outliers_ray.index.build import write_segment_table
+
+    path = str(tmp_path / "seg.parquet")
+    write_segment_table(t, path, target_bytes=8000, max_rows=7)
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups > 1
+    total = 0
+    for gi in range(pf.metadata.num_row_groups):
+        g = pf.read_row_group(gi)
+        assert g.num_rows <= 7
+        gbytes = sum(len(p) for p in g["payload"].to_pylist())
+        assert gbytes <= 8000 or g.num_rows == 1  # single huge row allowed
+        total += g.num_rows
+    assert total == n
+    back = pq.read_table(path)
+    assert back.equals(t)
+    # predicate pushdown finds single terms
+    one = pq.read_table(path, filters=[("term", "=", "t0031")])
+    assert one.num_rows == 1 and one["payload"][0].as_py() == payloads[31]
