@@ -631,6 +631,13 @@ class IdSet(Node):
         return _id_member_mask(self.ids, batch, ctx)
 
 
+# phrase clauses whose RAREST term is denser than this fraction of the
+# corpus (floor _PHRASE_INDEX_MIN_GATE docs) stay on the distributed
+# text-verify path instead of driver-side positional resolution
+_PHRASE_INDEX_MAX_DF_FRAC = 0.05
+_PHRASE_INDEX_MIN_GATE = 50_000
+
+
 def preresolve_index_clauses(node: Node, reader) -> Node:
     """Resolve every index-answerable clause to an ``IdSet`` ONCE on the
     driver, so the distributed filter ships compact sorted id arrays
@@ -655,9 +662,21 @@ def preresolve_index_clauses(node: Node, reader) -> Node:
         return IdSet(_union_postings(reader,
                                      reader.terms_regex(node.pattern)))
     if isinstance(node, Phrase) and getattr(reader, "has_positions", False):
-        return IdSet(_phrase_docs_from_positions(reader,
-                                                 tokenize(node.text),
-                                                 node.slop))
+        toks = tokenize(node.text)
+        # df gate (the search_and pattern): positional resolution runs
+        # on the DRIVER and its cost scales with the rarest term's
+        # postings+positions, while the per-batch text verify
+        # distributes over the cluster.  Measured at 2M docs: a
+        # stopword phrase took 60 s driver-side vs 7 s scanned.  Dense
+        # phrases therefore keep their Phrase node; meta_df is a cheap
+        # metadata-only upper bound.
+        rarest = min((reader.meta_df(t) for t in toks), default=0)
+        gate = max(_PHRASE_INDEX_MIN_GATE,
+                   int(reader.n_docs * _PHRASE_INDEX_MAX_DF_FRAC))
+        if rarest <= gate:
+            return IdSet(_phrase_docs_from_positions(reader, toks,
+                                                     node.slop))
+        return node
     if isinstance(node, Not):
         return Not(preresolve_index_clauses(node.child, reader))
     if isinstance(node, (And, Or)):

@@ -78,3 +78,27 @@ def test_scoring_unaffected_by_positions(pos_index, tmp_path):
     r1, r2 = IndexReader(idx), IndexReader(idx2)
     for q in ["alpha beta", "gamma", "quick fox"]:
         assert taat_topk(r1, q, 10) == taat_topk(r2, q, 10), q
+
+
+def test_dense_phrase_df_gate(pos_index, monkeypatch):
+    """Phrases whose rarest term is denser than the gate stay on the
+    distributed text-verify path — and both paths return the same docs
+    (the gate is a plan choice, never a semantics choice)."""
+    from ee_outliers_ray.query import parse as P
+
+    src, idx = pos_index
+    r = IndexReader(idx)
+    ds = ray.data.read_parquet(src)
+    # force EVERY phrase over the gate: positional preresolution skipped
+    monkeypatch.setattr(P, "_PHRASE_INDEX_MIN_GATE", 0)
+    monkeypatch.setattr(P, "_PHRASE_INDEX_MAX_DF_FRAC", 0.0)
+    for phrase in PHRASES:
+        node = P.preresolve_index_clauses(P.parse_query_string(f'"{phrase}"'), r)
+        assert not isinstance(node, P.IdSet)  # Phrase survived the gate
+        got = filter_by_query_string(ds, f'"{phrase}"', reader=r).to_pandas()
+        got_ids = sorted(got["doc_id"]) if "doc_id" in got.columns else []
+        assert got_ids == _expected_phrase(phrase), phrase
+    # and with the gate wide open the positional path resolves
+    monkeypatch.setattr(P, "_PHRASE_INDEX_MIN_GATE", 10**9)
+    node = P.preresolve_index_clauses(P.parse_query_string('"alpha beta"'), r)
+    assert isinstance(node, P.IdSet)
