@@ -719,18 +719,10 @@ def ann_cosine(sf_dir: str, k: int = 10):
     return cosine_topk(ds, _query_embedding(sf_dir), k=k)
 
 
-def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
-    """IVF-probed ANN recall GATE: for each of the first ``n_queries``
-    query vectors, overlap of the IVF top-k vs the brute-force top-k.
-    Every piece is deterministic (hash-thinned sorted sample, seeded
-    k-means, fixed probe order), so the output table is stable across
-    runs/parallelism and the driver's rows-only check sees a hard
-    number instead of an approximate result.  Recall floor (>= 0.8)
-    asserted in pytest (tests/test_dedup_sim.py)."""
-    import pandas as pd
+def _query_matrix(sf_dir: str, n_queries: int):
+    """(query matrix, query ids) for the first ``n_queries`` vectors —
+    shared by the multi-query similarity gates."""
     import pyarrow.parquet as pq
-
-    from .similarity import IvfIndex, cosine_topk_multi
 
     t = pq.read_table(_t(sf_dir, "embeddings"),
                       columns=["vec_id", "embedding"],
@@ -738,7 +730,43 @@ def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
     order = np.argsort(t["vec_id"].to_numpy())
     qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
     qids = t["vec_id"].to_numpy()[order]
+    return qm, qids
 
+
+def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
+    """IVF ANN through an EXACTNESS GATE the driver can oracle: probing
+    ALL lists (nprobe = n_lists) makes the probe exhaustive by
+    construction, so the whole IVF machinery — deterministic
+    hash-thinned sorted sample, seeded k-means fit, distributed assign
+    pass, masked (batch x queries) probe matmul, tie-aware candidate
+    cut, per-query top-k — is driver-checked against SQL brute-force
+    cosine top-k (same oracle shape as ann_cosine_multi).  The
+    production approximate setting (nprobe=12) is the recall table
+    ``ann_ivf_recall``, pytest-gated at >= 0.8
+    (tests/test_dedup_sim.py)."""
+    from .similarity import IvfIndex
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qm, qids = _query_matrix(sf_dir, n_queries)
+    idx = IvfIndex(n_lists=16).fit_dataset(ds, max_sample=4096)
+    return idx.probe_topk_multi(idx.assign_column(ds), qm, qids, k=k,
+                                nprobe=idx.n_lists)
+
+
+def ann_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 5,
+                   nprobe: int = 12):
+    """IVF-probed ANN recall TABLE at the production (approximate)
+    nprobe: for each of the first ``n_queries`` query vectors, overlap
+    of the IVF top-k vs the brute-force top-k.  Every piece is
+    deterministic (hash-thinned sorted sample, seeded k-means, fixed
+    probe order), so the table is stable across runs/parallelism.
+    Recall floor (>= 0.8) asserted in pytest (tests/test_dedup_sim.py);
+    the driver-oracled exact gate is ``ann_ivf``."""
+    import pandas as pd
+
+    from .similarity import IvfIndex, cosine_topk_multi
+
+    qm, qids = _query_matrix(sf_dir, n_queries)
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     # synthetic embeddings are near-isotropic, so coarse cells separate
     # weakly: 16 lists / probe 12 measures recall 0.8-1.0 per query vs
@@ -747,7 +775,7 @@ def ann_ivf(sf_dir: str, k: int = 10, n_queries: int = 5):
     # ONE probed pass for all queries (probe_topk_multi) + one brute
     # pass — not a per-query re-execution of the assign stage
     ivf_all = idx.probe_topk_multi(idx.assign_column(ds), qm, qids,
-                                   k=k, nprobe=12)
+                                   k=k, nprobe=nprobe)
     brute = cosine_topk_multi(ds, qm, qids, k=k)
     if not isinstance(brute, pd.DataFrame):
         brute = brute.to_pandas()
@@ -812,16 +840,9 @@ def ann_cosine_multi(sf_dir: str, k: int = 10, n_queries: int = 5):
     """Brute-force cosine top-k for a QUERY MATRIX (first n_queries
     vectors) in one corpus pass — the batched-serving form of
     ann_cosine."""
-    import pyarrow.parquet as pq
-
     from .similarity import cosine_topk_multi
 
-    t = pq.read_table(_t(sf_dir, "embeddings"),
-                      columns=["vec_id", "embedding"],
-                      filters=[("vec_id", "<", n_queries)])
-    order = np.argsort(t["vec_id"].to_numpy())
-    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
-    qids = t["vec_id"].to_numpy()[order]
+    qm, qids = _query_matrix(sf_dir, n_queries)
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return cosine_topk_multi(ds, qm, qids, k=k)
 

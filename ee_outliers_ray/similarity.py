@@ -192,31 +192,32 @@ class IvfIndex:
             m = _norm(_batch_mat(b, vec_col))
             s = m @ qm.T                                   # (ndoc, nq)
             lst = b["ivf_list"].to_numpy(zero_copy_only=False)
-            s = np.where(allow_[lst], s, -np.inf)
+            finite = allow_[lst]                           # probed cells
             ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             n, nq = s.shape
+            # round BEFORE any cut/selection (cosine_topk's convention —
+            # the k boundary must see the same values the global rounded
+            # sort does), and keep every row TIED with the per-query
+            # 2k-th value so the deterministic id-asc tie-break cannot
+            # lose its winner to the per-batch prune
+            s = np.where(finite, duck_round(s, round_to), -np.inf)
+            keep = finite
             if n > 2 * k:
-                keep = np.argpartition(-s, 2 * k - 1, axis=0)[:2 * k]
-            else:
-                keep = np.tile(np.arange(n)[:, None], (1, nq))
-            qi = np.repeat(np.arange(nq), keep.shape[0])
-            rows = keep.T.reshape(-1)
-            vals = s[rows, qi]
-            ok = np.isfinite(vals)                         # drop non-probed
+                kth = np.partition(s, n - 2 * k, axis=0)[n - 2 * k]
+                keep = finite & (s >= kth[None, :])
+            rows, qi = np.nonzero(keep)
             return pa.table({
-                "query_id": pa.array(qids[qi][ok]),
-                id_col: pa.array(ids[rows[ok]]),
-                "cosine": pa.array(vals[ok]),
+                "query_id": pa.array(qids[qi]),
+                id_col: pa.array(ids[rows]),
+                "cosine": pa.array(s[rows, qi]),
             })
 
         cand = assigned_ds.map_batches(sim, batch_format="pyarrow") \
             .to_pandas()
         cand = cand.sort_values(["query_id", "cosine", id_col],
                                 ascending=[True, False, True], kind="stable")
-        out = cand.groupby("query_id", sort=True).head(k) \
+        return cand.groupby("query_id", sort=True).head(k) \
             .reset_index(drop=True)
-        out["cosine"] = duck_round(out["cosine"], round_to)
-        return out
 
 
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,

@@ -205,18 +205,33 @@ def test_embedding_dups_verified_cosine():
 
 
 def test_ann_ivf_recall_vs_brute_force():
-    """ann_ivf now RETURNS the recall table (one row per fixed query,
-    deterministic); the floor here is the pytest gate the driver's
-    rows-only check leans on."""
+    """ann_ivf_recall is the production-nprobe recall table (one row per
+    fixed query, deterministic); the floor here is the pytest gate for
+    the approximate setting — the driver-oracled gate is ann_ivf."""
     from ee_outliers_ray import pipelines as P
 
-    out = P.ann_ivf("/root/testdata/sf0.001")
+    out = P.ann_ivf_recall("/root/testdata/sf0.001")
     assert list(out.columns) == ["query_id", "k", "n_overlap", "recall_at_k"]
     assert len(out) == 5
     assert (out["recall_at_k"] >= 0.8).all()
     # determinism: a second run reproduces the table exactly
-    out2 = P.ann_ivf("/root/testdata/sf0.001")
+    out2 = P.ann_ivf_recall("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_ann_ivf_full_probe_is_exact():
+    """ann_ivf (the driver gate) probes ALL lists, so its per-query
+    top-k must equal brute force exactly — (query_id, vec_id) sets AND
+    rounded cosines, across two sf dirs."""
+    from ee_outliers_ray import pipelines as P
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ivf = P.ann_ivf(sf).reset_index(drop=True)
+        brute = P.ann_cosine_multi(sf).reset_index(drop=True)
+        assert list(ivf.columns) == ["query_id", "vec_id", "cosine"]
+        pd.testing.assert_frame_equal(
+            ivf[["query_id", "vec_id"]], brute[["query_id", "vec_id"]])
+        assert np.allclose(ivf["cosine"], brute["cosine"], atol=1e-9)
 
 
 def _ngram_exhaustive_want(docs, threshold=0.5):
