@@ -334,11 +334,19 @@ def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
     - over the gate (all terms hot): distributed tokenized scan
       (query_string semantics without an index), which streams both the
       corpus and the result.
+    Contract across the gate: both branches produce (doc_id) in
+    ascending doc_id order — the driver path as a pandas DataFrame, the
+    scan path as a sorted Ray Dataset (kept streaming: at scale the
+    result is itself corpus-sized and must not collect on the driver).
+    Empty ``terms`` matches nothing (schema-stable empty frame).
+
     Mirrors the reference's pure-filter use of query_string
     (/root/reference/app/helpers/es.py:238-250)."""
     from .query.engine import intersect_terms
     from .query.reader import IndexReader
 
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64)})
     reader = IndexReader(documents_index(sf_dir))
     min_meta_df = min(reader.meta_df(t) for t in sorted(set(terms)))
     if min_meta_df > _SEARCH_AND_SCAN_MIN_DF:
@@ -346,7 +354,8 @@ def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
 
         ds = read(sf_dir, "documents", columns=["doc_id", "text"])
         q = " AND ".join(sorted(set(terms)))
-        return filter_by_query_string(ds, q).select_columns(["doc_id"])
+        return filter_by_query_string(ds, q).select_columns(["doc_id"]) \
+            .sort("doc_id")
     ids = intersect_terms(reader, terms)
     return pd.DataFrame({"doc_id": ids})
 

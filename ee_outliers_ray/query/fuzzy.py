@@ -11,8 +11,14 @@ classic linear-chain trick: an insertion path from k to j costs j - k, so
 ``np.minimum.accumulate``).  m * L vector passes total — no per-candidate
 Python in the distance computation.
 
-Semantics match DuckDB ``levenshtein()`` (unit-cost edits, no
-transpositions), which is exactly what the driver oracle checks.
+Semantics match DuckDB ``levenshtein()`` exactly (unit-cost edits, no
+transpositions) — which is BYTE-level over the UTF-8 encoding, not
+character-level (validated: duckdb ``levenshtein('café','cafe') = 2``,
+``levenshtein('héllo','hello') = 2``).  The DP therefore runs on the
+UTF-8 bytes of both query and candidates, so non-ASCII queries get the
+same answers the driver oracle computes instead of an all-False mask
+(index terms are ``[a-z0-9]+`` so their bytes == chars; the byte path
+only changes what a non-ASCII USER query matches).
 """
 
 from __future__ import annotations
@@ -20,43 +26,37 @@ from __future__ import annotations
 import numpy as np
 
 
-def _pad_matrix(cands: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """ASCII candidates -> (n, L) uint8 matrix (NUL-padded) + lengths."""
+def _pad_matrix(cands: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """UTF-8 candidate bytes -> (n, L) uint8 matrix (NUL-padded) +
+    byte lengths."""
     lens = np.fromiter((len(s) for s in cands), dtype=np.int64,
                        count=len(cands))
     L = int(lens.max()) if len(cands) else 0
-    data = "".join(s.ljust(L, "\x00") for s in cands).encode()
+    data = b"".join(s.ljust(L, b"\x00") for s in cands)
     return np.frombuffer(data, dtype=np.uint8).reshape(len(cands), L), lens
 
 
 def levenshtein_within(query: str, cands: list[str],
                        max_dist: int) -> np.ndarray:
     """Boolean mask: which candidates are within ``max_dist`` edits of
-    ``query``.  Candidates longer/shorter than the query by more than
-    ``max_dist`` are rejected up front (a length-band prune — the edit
-    distance is at least the length difference).
-
-    ASCII-ONLY contract: the DP operates on single bytes, so character
-    count must equal byte count.  Index terms satisfy this by the
-    tokenizer's ``[a-z0-9]+`` guarantee, but the QUERY string comes
-    from users — a non-ASCII query returns an all-False mask (it cannot
-    equal any ``[a-z0-9]+`` term within byte-level edits anyway), and
-    non-ASCII candidates are masked out rather than corrupting the
-    padded matrix reshape."""
+    ``query`` under DuckDB/byte-level Levenshtein.  Candidates whose
+    UTF-8 byte length differs from the query's by more than ``max_dist``
+    are rejected up front (a length-band prune — the edit distance is at
+    least the length difference)."""
     n = len(cands)
     out = np.zeros(n, dtype=bool)
-    if n == 0 or not query.isascii():
+    if n == 0:
         return out
-    m = len(query)
-    lens_all = np.fromiter((len(s) for s in cands), dtype=np.int64, count=n)
+    q = np.frombuffer(query.encode(), dtype=np.uint8)
+    m = len(q)
+    enc = [s.encode() for s in cands]
+    lens_all = np.fromiter((len(s) for s in enc), dtype=np.int64, count=n)
     band = np.abs(lens_all - m) <= max_dist
-    band &= np.fromiter((s.isascii() for s in cands), dtype=bool, count=n)
     idx = np.flatnonzero(band)
     if not len(idx):
         return out
-    mat, lens = _pad_matrix([cands[i] for i in idx])
+    mat, lens = _pad_matrix([enc[i] for i in idx])
     nb, L = mat.shape
-    q = np.frombuffer(query.encode(), dtype=np.uint8)
     cols = np.arange(L + 1, dtype=np.int32)
     dp = np.broadcast_to(cols, (nb, L + 1)).astype(np.int32)
     for i in range(1, m + 1):

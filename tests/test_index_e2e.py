@@ -264,9 +264,21 @@ def test_search_and_scan_path_matches_driver_path(monkeypatch):
 
     sf = "/root/testdata/sf0.001"
     driver = P.search_and(sf)
+    # both branches present ascending doc_id (the cross-gate contract)
+    assert driver["doc_id"].is_monotonic_increasing
     monkeypatch.setattr(P, "_SEARCH_AND_SCAN_MIN_DF", 0)
     scan = P.search_and(sf).to_pandas()
-    assert sorted(scan["doc_id"]) == driver["doc_id"].tolist()
+    assert scan["doc_id"].tolist() == driver["doc_id"].tolist()
+
+
+def test_search_and_empty_terms():
+    """terms=() matches nothing and returns the schema-stable empty
+    frame instead of raising (min() over an empty generator)."""
+    from ee_outliers_ray import pipelines as P
+
+    out = P.search_and("/root/testdata/sf0.001", terms=())
+    assert list(out.columns) == ["doc_id"] and len(out) == 0
+    assert out["doc_id"].dtype == np.int64
 
 
 def test_meta_df_matches_df(reader):

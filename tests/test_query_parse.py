@@ -256,6 +256,27 @@ def test_fuzzy_kernel_matches_pure_python():
             assert (got == exp).all(), (q, cands, d)
 
 
+def test_fuzzy_non_ascii_matches_duckdb():
+    """The fuzzy == DuckDB levenshtein() invariant holds for NON-ASCII
+    query input too: DuckDB's levenshtein is byte-level over UTF-8
+    (levenshtein('café','cafe') = 2), and the kernel runs the same
+    byte DP instead of returning an all-False mask."""
+    import duckdb
+
+    from ee_outliers_ray.query.fuzzy import levenshtein_within
+
+    con = duckdb.connect()
+    cands = ["cafe", "caff", "cafes", "coffee", "xyz", "café", "hello",
+             "héllo", "ue", "u"]
+    for q in ("café", "héllo", "ü", "cafe"):
+        for d in (0, 1, 2, 3):
+            got = levenshtein_within(q, cands, d)
+            exp = np.array([
+                con.execute("SELECT levenshtein(?, ?)", [q, c])
+                .fetchone()[0] <= d for c in cands])
+            assert (got == exp).all(), (q, d, list(got), list(exp))
+
+
 def test_fuzzy_scan_and_index(tmp_path):
     import ray
 
@@ -422,11 +443,14 @@ def test_sloppy_phrase_repeated_term_distinct_positions(tmp_path):
 
 
 def test_fuzzy_kernel_non_ascii_safe():
-    """ASCII-only contract: a non-ASCII query matches nothing; non-ASCII
-    candidates are masked out instead of corrupting the byte-matrix
-    reshape (chars != bytes)."""
+    """Byte-level (UTF-8) contract == DuckDB levenshtein(): 'café' is 2
+    BYTE edits from 'cafe' (é is 2 bytes), matches itself at 0, and
+    mixed-width candidates cannot corrupt the byte-matrix reshape."""
     from ee_outliers_ray.query.fuzzy import levenshtein_within
 
-    assert not levenshtein_within("café", ["cafe", "café"], 1).any()
+    got = levenshtein_within("café", ["cafe", "café", "caff"], 1)
+    assert got.tolist() == [False, True, False]
+    got = levenshtein_within("café", ["cafe", "café", "caff"], 2)
+    assert got.tolist() == [True, True, True]
     got = levenshtein_within("cafe", ["café", "cafe", "caff", "caféx"], 1)
     assert got.tolist() == [False, True, True, False]
