@@ -1219,30 +1219,56 @@ def enrichment_snapshot(sf_dir: str):
     merge outlier arrays + tag, return enriched rows.
 
     Size-gated like search_and: sparse outliers broadcast as a driver
-    dict; above ``_ENRICH_SHARDED_MIN_ROWS`` the entry rows push
-    hash-sharded into the actor store and the corpus streams one merge
-    pass (the scale path — pytest forces the gate to prove both paths
-    produce identical output)."""
-    flagged = terms_within_median(sf_dir)
-    ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
-    ids = flagged["event_id"].to_numpy().astype(np.int64)
-    summaries = ("rare " + flagged["target"].astype(str)
-                 + " in " + flagged["aggregator"].astype(str)).tolist()
-    if len(flagged) > _ENRICH_SHARDED_MIN_ROWS:
-        import ray.data
+    dict; above ``_ENRICH_SHARDED_MIN_ROWS`` the flagged rows NEVER
+    touch driver pandas — the terms-model output stays a Dataset,
+    one ``map_batches`` rewrites it into entry rows, and those push
+    hash-sharded straight into the actor store while the corpus streams
+    one merge pass (the scale path — pytest forces the gate to prove
+    both paths produce identical output).  The materialize is bounded
+    by the outlier rate, not the corpus, and spills rather than
+    collecting."""
+    from .models.terms import terms_model
 
+    ds = read(sf_dir, "events", columns=["event_id", "event_type", "user_id"])
+    flagged_ds = terms_model(
+        read(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type"]),
+        "event_type", "user_id",
+        target_count_method="within_aggregator",
+        trigger_method="pct_of_median_value",
+        trigger_sensitivity=50, trigger_on="low").materialize()
+    if flagged_ds.count() > _ENRICH_SHARDED_MIN_ROWS:
         from .enrich import apply_outliers_sharded
 
-        entries_df = pd.DataFrame({
-            "event_id": ids, "type": "rare",
-            "reason": "rarely seen target", "summary": summaries,
-            "model_name": "rare_users", "model_type": "terms",
-            "extra": [None] * len(flagged)})
-        out = apply_outliers_sharded(ds, ray.data.from_pandas(entries_df),
-                                     id_col="event_id")
+        def to_entries(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            summary = pc.binary_join_element_wise(
+                pa.array(["rare"] * n),
+                pc.cast(b["target"], pa.string()),
+                pa.array(["in"] * n),
+                pc.cast(b["aggregator"], pa.string()), " ")
+            return pa.table({
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "type": pa.array(["rare"] * n),
+                "reason": pa.array(["rarely seen target"] * n),
+                "summary": summary,
+                "model_name": pa.array(["rare_users"] * n),
+                "model_type": pa.array(["terms"] * n),
+                "extra": pa.nulls(n, pa.string()),
+            })
+
+        entries_ds = flagged_ds.map_batches(to_entries,
+                                            batch_format="pyarrow")
+        out = apply_outliers_sharded(ds, entries_ds, id_col="event_id")
     else:
         from .enrich import apply_outliers
 
+        flagged = flagged_ds.to_pandas()
+        ids = flagged["event_id"].to_numpy().astype(np.int64) \
+            if len(flagged) else np.array([], dtype=np.int64)
+        summaries = ("rare " + flagged["target"].astype(str)
+                     + " in " + flagged["aggregator"].astype(str)).tolist() \
+            if len(flagged) else []
         entries: dict[int, list[dict]] = {}
         for i, s in zip(ids, summaries):
             entries.setdefault(int(i), []).append({
