@@ -6,8 +6,9 @@ here they are explicit).
 - ``hash_join``: both sides large — add ``_bucket = hash(key) % B`` to
   each side, co-locate matching buckets with one groupby over the
   union, and join pairwise inside each bucket group (an explicit
-  partitioned hash join; B and hot-key salting are the caller's
-  partitioning decisions, documented per call site).
+  partitioned hash join).  B defaults from the input sizes
+  (``_join_buckets``); hot-key skew splits via the ``salt`` hook
+  (``_salted_bucket`` — left round-robin, right replicated).
 - ``semi_join`` / ``anti_join``: broadcast key-set membership filters.
 """
 
@@ -25,6 +26,46 @@ def _bucket_of(col: pa.Array | pa.ChunkedArray, num_buckets: int) -> np.ndarray:
     # deterministic across processes (no PYTHONHASHSEED dependence):
     # vectorized 64-bit mix of the key column (hashing.hash_any_array)
     return (hash_any_array(col) % np.uint64(num_buckets)).astype(np.int32)
+
+
+# target rows per co-group bucket: ~256k rows keeps the per-group pandas
+# merge payload in the tens of MB on typical row widths — small enough
+# for a worker heap, large enough that group scheduling overhead
+# amortizes.  Derived B is clamped to [8, 4096].
+_TARGET_BUCKET_ROWS = 1 << 18
+
+
+def _derive_buckets(n_rows: int) -> int:
+    return int(min(4096, max(8, -(-n_rows // _TARGET_BUCKET_ROWS))))
+
+
+def _join_buckets(ds_a, ds_b, num_buckets: int | None) -> int:
+    """Default B from input size when the caller doesn't pass one.
+    Costs one counting pass over both inputs (re-executed lazily), so
+    callers that already know their sizes should pass ``num_buckets``
+    explicitly; parquet-backed inputs count from metadata."""
+    if num_buckets is not None:
+        return num_buckets
+    return _derive_buckets((ds_a.count() or 0) + (ds_b.count() or 0))
+
+
+def _salted_bucket(base: np.ndarray, salt: int, side: str) -> np.ndarray:
+    """Hot-key salting (the join-side analogue of the index build's
+    heavy-hitter term splitting): left rows spread round-robin over
+    ``salt`` sub-buckets of their hash bucket; the right side is
+    REPLICATED into every sub-bucket (joins.hash_join tag()), so each
+    left row still meets the full right partition for its key.  Any
+    balanced assignment yields identical results — round-robin needs no
+    RNG and bounds every sub-group at ceil(n/salt) rows of the hot
+    key."""
+    if side == "a":
+        sub = np.arange(len(base), dtype=np.int32) % np.int32(salt)
+        return base * np.int32(salt) + sub
+    # right side: caller replicates rows; this computes the bucket ids
+    # for the replicated layout (row i repeated salt times)
+    rep = np.repeat(base * np.int32(salt), salt)
+    rep += np.tile(np.arange(salt, dtype=np.int32), len(base))
+    return rep
 
 
 def _restore_dtypes(out: pd.DataFrame, out_types: dict) -> pd.DataFrame:
@@ -60,16 +101,27 @@ def broadcast_join(ds, small_df: pd.DataFrame, key: str, *,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
-              how: str = "inner", suffix: str = "_r"):
+def hash_join(ds_a, ds_b, key: str, *, num_buckets: int | None = None,
+              how: str = "inner", suffix: str = "_r", salt: int = 1):
     """Partitioned hash join of two Datasets on ``key``.
 
     Both sides gain a bucket column and a side marker, union into one
     dataset, and a single groupby(bucket) co-locates matching keys; the
-    group task splits sides and merges with pandas.  One shuffle total;
-    key skew is bounded by bucket granularity (salt hot keys into
-    sub-buckets by raising num_buckets).
+    group task splits sides and merges with pandas.  One shuffle total.
+
+    ``num_buckets=None`` derives B from the input row counts
+    (``_TARGET_BUCKET_ROWS`` per bucket, clamped to [8, 4096]) at the
+    cost of one counting pass.  ``salt > 1`` splits each bucket into
+    ``salt`` sub-buckets for HOT-KEY skew (a single key whose group
+    exceeds the payload bound): left rows spread round-robin, right
+    rows replicate into every sub-bucket — results identical, per-group
+    rows bounded at ~ceil(hot/salt) + replicated right.  Salt requires
+    ``how`` in (inner, left): right/outer joins would duplicate
+    unmatched right rows across sub-buckets.
     """
+    if salt > 1 and how not in ("inner", "left"):
+        raise ValueError("salt > 1 supports only inner/left joins")
+    num_buckets = _join_buckets(ds_a, ds_b, num_buckets)
     def _pa_type(t):
         if isinstance(t, pa.DataType):
             return t
@@ -98,8 +150,21 @@ def hash_join(ds_a, ds_b, key: str, *, num_buckets: int = 16,
             for name, typ in all_fields.items():
                 cols[name] = b[name] if name in b.column_names \
                     else pa.nulls(b.num_rows, typ)
-            cols["_bucket"] = pa.array(_bucket_of(b[key], num_buckets))
-            cols["_side"] = pa.array([side] * b.num_rows)
+            base = _bucket_of(b[key], num_buckets)
+            if salt > 1:
+                if side == "b":
+                    # replicate right rows into every sub-bucket
+                    t = pa.table(cols)
+                    idx = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                                    salt)
+                    t = t.take(pa.array(idx))
+                    cols = {n: t[n] for n in t.column_names}
+                bucket = _salted_bucket(base, salt, side)
+            else:
+                bucket = base
+            n_out = len(bucket)
+            cols["_bucket"] = pa.array(bucket)
+            cols["_side"] = pa.array([side] * n_out)
             return pa.table(cols)
         return f
 
@@ -168,7 +233,8 @@ def anti_join(ds, keys: set, key_col: str):
 
 
 def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
-              tie_col: str, num_buckets: int = 16, suffix: str = "_r"):
+              tie_col: str, num_buckets: int | None = None,
+              suffix: str = "_r"):
     """Distributed AS-OF JOIN: for every left row, attach the right row
     with the greatest ``ts_col`` <= the left row's, per ``key`` (inner:
     left rows with no eligible right row are dropped).
@@ -184,7 +250,9 @@ def asof_join(ds_left, ds_right, key: str, ts_col: str, *,
     single ``np.searchsorted(side='right') - 1`` finds every left row's
     predecessor in the (key, ts, tie)-sorted right side.  No per-key
     loop, no per-row loop; skew is bounded by bucket granularity like
-    hash_join."""
+    hash_join.  ``num_buckets=None`` derives B from the input sizes
+    (``_join_buckets``)."""
+    num_buckets = _join_buckets(ds_left, ds_right, num_buckets)
     l_cols = list(ds_left.schema().names)
     r_schema = ds_right.schema()
     r_rename = {n: (n + suffix if n in l_cols else n)

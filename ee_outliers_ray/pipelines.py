@@ -990,7 +990,8 @@ def hash_join_revenue(sf_dir: str):
         return b.rename_columns(["l_orderkey", "o_orderpriority"])
 
     orders = orders.map_batches(rename, batch_format="pyarrow")
-    joined = hash_join(li, orders, "l_orderkey", num_buckets=16)
+    # B derived from input row counts (joins._join_buckets)
+    joined = hash_join(li, orders, "l_orderkey")
 
     def add_rev(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b["l_extendedprice"],
@@ -1025,8 +1026,7 @@ def asof_join_events(sf_dir: str):
 
     purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
     clicks = ev.map_batches(only("click"), batch_format="pyarrow")
-    out = asof_join(purchases, clicks, "user_id", "ts", tie_col="event_id",
-                    num_buckets=8)
+    out = asof_join(purchases, clicks, "user_id", "ts", tie_col="event_id")
 
     def rename(b: pa.Table) -> pa.Table:
         names = {"event_id_r": "click_event_id", "ts_r": "click_ts"}

@@ -281,3 +281,57 @@ def test_asof_join_source_int_column_with_nulls():
     assert got["k"].dtype == np.int64 and got["ts"].dtype == np.int64
     assert got["payload"].isna().tolist() == [True, False]
     assert got["payload_r"].isna().all()
+
+
+def test_join_buckets_derived_from_size():
+    """num_buckets=None derives B from input row counts: ~256k rows per
+    bucket, clamped to [8, 4096] — the engine's default partitioning
+    decision instead of a per-call-site constant."""
+    from ee_outliers_ray.joins import _derive_buckets
+
+    assert _derive_buckets(0) == 8
+    assert _derive_buckets(100) == 8
+    assert _derive_buckets((1 << 18) * 16) == 16
+    assert _derive_buckets((1 << 18) * 100 + 1) == 101
+    assert _derive_buckets(10**12) == 4096
+
+
+def test_hash_join_salt_splits_hot_key_and_matches_unsalted():
+    """Hot-key salting: one key carrying most of the left side splits
+    round-robin across `salt` sub-buckets (per-sub-group payload bounded
+    at ~ceil(hot/salt)), the right side replicates, and the join result
+    is IDENTICAL to the unsalted join and to pandas."""
+    from ee_outliers_ray.joins import _bucket_of, _salted_bucket, hash_join
+
+    rng = np.random.default_rng(7)
+    n_hot, salt, B = 5000, 8, 4
+    lk = np.concatenate([np.full(n_hot, 42, dtype=np.int64),
+                         rng.integers(0, 42, size=500)])
+    left = pa.table({"k": pa.array(lk),
+                     "x": pa.array(np.arange(len(lk), dtype=np.int64))})
+    right = pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                      "y": pa.array(np.arange(50, dtype=np.int64) * 10)})
+
+    # partition-level bound: the hot key's rows land in `salt` distinct
+    # sub-buckets, each holding at most ceil(n_hot/salt) of them
+    base = _bucket_of(pa.array(lk), B)
+    bucket = _salted_bucket(base, salt, "a")
+    hot = bucket[lk == 42]
+    sizes = pd.Series(hot).value_counts()
+    assert len(sizes) == salt
+    assert sizes.max() <= -(-n_hot // salt) + 1
+
+    want = left.to_pandas().merge(right.to_pandas(), on="k") \
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    plain = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      "k", num_buckets=B).to_pandas() \
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    salted = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                       "k", num_buckets=B, salt=salt).to_pandas() \
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, want[plain.columns])
+    pd.testing.assert_frame_equal(salted, plain)
+
+    with pytest.raises(ValueError, match="salt"):
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  "k", num_buckets=B, salt=2, how="outer")
