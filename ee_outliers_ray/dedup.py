@@ -81,10 +81,17 @@ def _bucket_key_arr(tbl_or_df, key_cols: list[str], from_pandas: bool):
 
 
 _CROWDED_DRIVER_ROWS_MAX = 2_000_000
+# above this exploded-row count the (doc_id, bucket) table checkpoints
+# to /tmp parquet and both downstream passes (size aggregate + member
+# filter) stream from disk — the object store stops carrying the
+# exploded table across the two passes (it only backs the write pass,
+# spilling as needed)
+_CROWDED_CHECKPOINT_MIN_ROWS = 50_000_000
 
 
 def crowded_buckets(buckets_ds, key_cols: list[str],
-                    max_driver_rows: int = _CROWDED_DRIVER_ROWS_MAX):
+                    max_driver_rows: int = _CROWDED_DRIVER_ROWS_MAX,
+                    checkpoint_min_rows: int | None = None):
     """(filtered dataset of crowded-bucket rows, crowded sizes DataFrame).
 
     Bucket sizes come from a vectorized grouped aggregate; the crowded-key
@@ -98,20 +105,37 @@ def crowded_buckets(buckets_ds, key_cols: list[str],
     (``max_driver_rows``) the size aggregate + membership filter run as
     one vectorized pandas pass — skipping a groupby shuffle and a filter
     map execution, which dominate wall time at small scale.  Above the
-    gate the distributed path runs unchanged.
+    gate the distributed path runs; above ``checkpoint_min_rows``
+    (default ``_CROWDED_CHECKPOINT_MIN_ROWS``) the exploded table is
+    first checkpointed to /tmp parquet and re-read for both passes, so
+    its object-store residency is bounded to the write instead of
+    living across the whole candidate-generation stage (forced-
+    threshold pytest pins path equality).
     """
     import ray
     import ray.data
     from ray.data.aggregate import Count
 
     buckets_ds = buckets_ds.materialize()
-    if buckets_ds.count() <= max_driver_rows:
+    n_rows = buckets_ds.count()
+    if n_rows <= max_driver_rows:
         df = buckets_ds.to_pandas()
         sz = df.groupby(key_cols, sort=False)[key_cols[0]].transform("size")
         filt_df = df[sz.to_numpy() >= 2].reset_index(drop=True)
         crowded = (filt_df.groupby(key_cols, sort=False).size()
                    .rename("n").reset_index())
         return ray.data.from_pandas(filt_df), crowded
+    ckpt = checkpoint_min_rows if checkpoint_min_rows is not None \
+        else _CROWDED_CHECKPOINT_MIN_ROWS
+    if n_rows > ckpt:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="eor_crowded_ckpt_")
+        buckets_ds.write_parquet(path)
+        # rebind releases the materialized blocks; downstream passes
+        # stream from the checkpoint (left in /tmp: the returned filt
+        # dataset reads it lazily)
+        buckets_ds = ray.data.read_parquet(path)
     sizes = buckets_ds.groupby(key_cols).aggregate(Count(alias_name="n"))
     crowded = sizes.filter(expr="n >= 2").to_pandas()
 

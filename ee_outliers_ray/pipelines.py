@@ -268,10 +268,14 @@ def index_append_term_df(sf_dir: str):
         open(os.path.join(base, "done"), "w").close()
     seg_files = sorted(globlib.glob(
         os.path.join(idx, "segments", "*", "segment.parquet")))
-    parts = [pq.read_table(f, columns=["term", "df"]) for f in seg_files]
-    out = pa.concat_tables(parts).to_pandas()
-    # buckets partition the term space -> terms are globally unique
-    return out.sort_values("term").reset_index(drop=True)
+    import ray.data
+
+    # the vocabulary aggregation stays IN RAY (column-pruned read of the
+    # segment files + distributed sort); buckets partition the term
+    # space -> terms are globally unique, so no groupby is needed and
+    # the driver only holds the streamed (term, df) result
+    return ray.data.read_parquet(seg_files, columns=["term", "df"]) \
+        .sort("term").to_pandas()
 
 
 _SHARD_CACHE: dict[str, list] = {}

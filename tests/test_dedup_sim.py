@@ -378,3 +378,37 @@ def test_ivf_probe_multi_equals_single():
         m = multi[multi["query_id"] == qid].reset_index(drop=True)
         assert single["vec_id"].tolist() == m["vec_id"].tolist()
         assert np.allclose(single["cosine"], m["cosine"], atol=1e-9)
+
+
+def test_crowded_buckets_checkpoint_path_identical():
+    """Forcing checkpoint_min_rows=0 (with the driver gate also 0) sends
+    crowded_buckets through the /tmp parquet checkpoint; the filtered
+    rows and crowded sizes must equal both the driver fast path and the
+    in-object-store distributed path."""
+    import ray.data
+
+    from ee_outliers_ray.dedup import crowded_buckets
+
+    rng = np.random.default_rng(11)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(3000, dtype=np.int64)),
+        "bucket": pa.array(rng.integers(0, 1200, size=3000)),
+    })
+
+    def run(**kw):
+        filt, crowded = crowded_buckets(ray.data.from_arrow(tbl),
+                                        ["bucket"], **kw)
+        f = filt.to_pandas().sort_values(["bucket", "doc_id"]) \
+            .reset_index(drop=True)
+        c = crowded.sort_values("bucket").reset_index(drop=True) \
+            .astype({"bucket": np.int64, "n": np.int64})
+        return f, c
+
+    f_drv, c_drv = run()                                   # driver path
+    f_dist, c_dist = run(max_driver_rows=0)                # distributed
+    f_ck, c_ck = run(max_driver_rows=0, checkpoint_min_rows=0)
+    pd.testing.assert_frame_equal(f_dist, f_drv)
+    pd.testing.assert_frame_equal(f_ck, f_drv)
+    pd.testing.assert_frame_equal(c_dist, c_drv)
+    pd.testing.assert_frame_equal(c_ck, c_drv)
+    assert (c_drv["n"] >= 2).all() and len(c_drv) > 0
