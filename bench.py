@@ -16,6 +16,10 @@ of the `queries()` pipelines over $GRAFT_SF_DIR (default
 (best of $GRAFT_SCALING_REPS runs per level to damp sandbox noise) and
 reports throughput at both plus scaling efficiency (the in-sandbox stand-
 in for the N vs 4N node criterion; see BASELINE.md).
+
+Both modes quiet-gate their samples by default (bounded wait for 1-min
+loadavg < 1.5; GRAFT_WAIT_QUIET=0 / GRAFT_SCALING_WAIT_QUIET=0 disable)
+and record load_before in the JSON so polluted samples are identifiable.
 """
 
 from __future__ import annotations
@@ -48,6 +52,22 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "2000000"))
 BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2048"))
 PIPELINES = os.environ.get("GRAFT_BENCH_PIPELINES", "1") == "1"
+
+
+def _await_quiet(max_wait_s: int = 900, threshold: float = 1.5) -> float:
+    """Block until a quiet window (1-min loadavg < threshold) or the
+    bounded wait expires; returns seconds waited.  Neighbor storms on
+    the shared VM inflate a single sample 2-3x (BASELINE.md noise
+    caveat) — the documented protocol measures in quiet windows, so the
+    gate is ON by default for both the headline run and --scaling
+    (GRAFT_WAIT_QUIET=0 disables)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        with open("/proc/loadavg") as f:
+            if float(f.read().split()[0]) < threshold:
+                break
+        time.sleep(20)
+    return round(time.time() - t0, 1)
 
 
 def _prefault_heap(mb: int = 256) -> None:
@@ -198,13 +218,17 @@ def pipeline_timings() -> dict:
 
 
 def main() -> None:
-    # loadavg BEFORE the run: load we did not cause — makes neighbor-
-    # storm-polluted samples identifiable from the JSON alone (the
-    # documented protocol is best-of-N in quiet windows, 1-min < 1.5)
+    # quiet-gate the headline sample (bounded wait), then record loadavg
+    # BEFORE the run: load we did not cause — makes neighbor-storm-
+    # polluted samples identifiable from the JSON alone (the documented
+    # protocol is best-of-N in quiet windows, 1-min < 1.5)
+    waited = _await_quiet() \
+        if os.environ.get("GRAFT_WAIT_QUIET", "1") == "1" else 0.0
     with open("/proc/loadavg") as f:
         load_before = [float(x) for x in f.read().split()[:2]]
     h = headline(NCPU)
     h["load_before"] = load_before
+    h["quiet_waited_s"] = waited
     q = {}
     if PIPELINES:
         import ray
@@ -233,18 +257,10 @@ def scaling() -> None:
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     levels = (8, 32)
 
-    # GRAFT_SCALING_WAIT_QUIET=1: gate each rep on a quiet window
+    # GRAFT_SCALING_WAIT_QUIET=0 disables the per-rep quiet-window gate
     # (1-min load < 1.5, bounded wait) — neighbor storms inflate a
     # single rep 2-3x and a storm-polluted level invalidates the ratio
-    wait_quiet = os.environ.get("GRAFT_SCALING_WAIT_QUIET", "0") == "1"
-
-    def _await_quiet(max_wait_s: int = 900) -> None:
-        t0 = time.time()
-        while time.time() - t0 < max_wait_s:
-            with open("/proc/loadavg") as f:
-                if float(f.read().split()[0]) < 1.5:
-                    return
-            time.sleep(20)
+    wait_quiet = os.environ.get("GRAFT_SCALING_WAIT_QUIET", "1") == "1"
 
     def run(ncpu: int) -> dict:
         best = None
@@ -256,9 +272,12 @@ def scaling() -> None:
             # entries are identifiable from the data alone
             with open("/proc/loadavg") as f:
                 load_before = float(f.read().split()[0])
+            # the rep loop gates quietness itself; don't double-gate in
+            # the child (GRAFT_WAIT_QUIET=0)
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_PIPELINES="0",
-                       GRAFT_QUERY_CACHE="0")
+                       GRAFT_QUERY_CACHE="0",
+                       GRAFT_WAIT_QUIET="0")
             out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                                  env=env, capture_output=True, text=True,
                                  check=True, cwd=REPO).stdout
