@@ -94,6 +94,12 @@ _RUN_SCHEMA = pa.schema([
 
 _RUN_SCHEMA_POS = _RUN_SCHEMA.append(pa.field("positions", pa.list_(pa.int32())))
 
+# the non-positional projection of a segment row: readers serving
+# phrase-free queries pass this as ``columns=`` so a positional index's
+# position payloads (BASELINE.md: ~2/3 of a positional segment's bytes)
+# never leave disk on the BM25 / boolean read path
+RUN_BASE_COLUMNS = [f.name for f in _RUN_SCHEMA]
+
 
 def _run_to_row(term: str, bucket: int, rng: int, run: EncodedRun) -> dict:
     return {

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..index.build import _row_to_run
+from ..index.build import RUN_BASE_COLUMNS, _row_to_run
 from ..index.codec import EncodedRun
 
 
@@ -78,7 +78,12 @@ class IndexReader:
                                        "**", "*.parquet"), recursive=True)
         rows = []
         for p in paths:
-            t = pq.read_table(p, filters=[("term", "=", term)])
+            # positional payload isolation: BM25/boolean reads project
+            # only the base run columns, so a positional index's
+            # positions column (the bulk of its bytes) stays on disk
+            # unless .positions() asks for it
+            t = pq.read_table(p, columns=RUN_BASE_COLUMNS,
+                              filters=[("term", "=", term)])
             rows.extend(t.to_pylist())
         run = None
         if rows:
