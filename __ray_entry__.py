@@ -76,8 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ALL oracled entries; the non-SQL ones have pinned goldens).  Every
     entry whose implementation changed in the round-5 diff (ann_ivf,
     search_and, fuzzy_search, index_append_term_df, hash_join_revenue,
-    asof_join_events, enrichment, dedup_minhash/ngram) sits inside the
-    driver's externally checked 50-entry window."""
+    asof_join_events, enrichment, dedup_minhash/ngram, media_features —
+    jpeg decode became real this round) sits inside the driver's
+    externally checked 50-entry window; dedup_keep_list (a trivial
+    anti-join over dedup_clusters' output, both driver-green r4 and
+    pytest-parity-checked) holds the tail slot that freed."""
     return {
         # --- full-text / index (SURVEY §2 Q1, A11, O8, M13) ---
         "token_counts": P.token_counts,
@@ -135,8 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": P.dedup_ngram,
         "dedup_simhash": P.dedup_simhash,
         "dedup_clusters": P.dedup_clusters,
-        "dedup_keep_list": P.dedup_keep_list,
+        # --- multimodal (rows-only; decoders changed in r5 -> window) ---
+        "media_features": P.media_features,
         # ---- tail (see docstring): redundant-by-contract gates ----
+        "dedup_keep_list": P.dedup_keep_list,
         "term_cf": P.term_cf,
         "corpus_stats": P.corpus_stats,
         "bm25_topk_parts": P.bm25_topk_parts,
@@ -147,10 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exists_counts": P.exists_counts,
         "multi_key_counts": P.multi_key_counts,
         "simplequery_filter": P.simplequery_filter,
-        # ---- tail: no_oracle (iterative / approximate / media) ----
+        # ---- tail: no_oracle (iterative / approximate) ----
         "word2vec_outliers": P.word2vec_outliers,
         "embedding_dups": P.embedding_dups,
-        "media_features": P.media_features,
     }
 
 

@@ -5,20 +5,21 @@ and feature-extract are stateful actor-pool ``map_batches`` stages.
 
 All three modalities now have a REAL pure-stdlib path:
   - images: PNG codec (`png.py` — zlib scanlines + all five spec
-    filters): decode -> pixel-stats features, decode -> resize ->
-    re-encode;
+    filters) AND baseline JPEG codec (`jpeg.py` — Annex K Huffman +
+    8x8 DCT, 4:4:4 / 4:2:0): decode -> pixel-stats features, decode ->
+    resize -> re-encode;
   - audio: WAV/PCM codec (`wav.py`): decode -> spectral/energy
     features;
   - video: uncompressed-DIB AVI codec (`avi.py`): decode -> temporal
     pixel features, and frame sampling that emits each sampled frame
     re-encoded as PNG so the image stages compose downstream.
-Other formats (jpeg/mp3/h264...) need PIL/ffmpeg, which are NOT in
-this container, so their kernels stay STUBBED: with
-``fake=True`` they produce a deterministic feature vector from the
-payload bytes (the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested); with ``fake=False``
-they raise ``NotImplementedError`` at the exact point where a real
-decoder would run.
+The remaining formats (mp3/h264/progressive-JPEG...) need
+PIL/ffmpeg, which are NOT in this container, so their kernels stay
+STUBBED: with ``fake=True`` they produce a deterministic feature
+vector from the payload bytes (the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is real and tested); with
+``fake=False`` they raise ``NotImplementedError`` at the exact point
+where a real decoder would run.
 
 Memory note (SURVEY §"Memory-aware"): payload batches must stay small —
 callers should pass ``batch_size`` such that batch_size x avg_payload x
@@ -98,12 +99,22 @@ class MediaDecode:
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         from .avi import is_avi
+        from .jpeg import decode_jpeg, is_jpeg
         from .png import _SIG, decode_png
         from .wav import is_wav
 
         if payload[:8] == _SIG:
             # REAL path: pure-stdlib PNG decode (png.py)
             return self._png_features(decode_png(payload))
+        if is_jpeg(payload):
+            # REAL path: pure-stdlib baseline JPEG decode (jpeg.py);
+            # progressive/arithmetic payloads raise inside decode_jpeg
+            # and fall through to the stub under fake=True
+            try:
+                return self._png_features(decode_jpeg(payload))
+            except Exception:
+                if not self.fake:
+                    raise
         if is_wav(payload):
             # REAL path: pure-stdlib WAV decode (wav.py) -> spectral/
             # energy features.  A payload that merely LOOKS like RIFF/
@@ -125,9 +136,9 @@ class MediaDecode:
                     raise
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG/WAV media decode requires PIL/ffmpeg, not "
-                "available in this environment; run with fake=True for "
-                "the deterministic stub")
+                "non-PNG/JPEG/WAV/AVI media decode requires PIL/ffmpeg, "
+                "not available in this environment; run with fake=True "
+                "for the deterministic stub")
         # deterministic fake: bytes -> blake2b digest -> float features
         digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
@@ -170,6 +181,7 @@ class MediaResize:
         self.fake = fake
 
     def _resize_one(self, payload: bytes) -> bytes:
+        from .jpeg import decode_jpeg, encode_jpeg, is_jpeg
         from .png import _SIG, decode_png, encode_png, resize_nearest
 
         if payload[:8] == _SIG:
@@ -177,10 +189,19 @@ class MediaResize:
             img = decode_png(payload)
             return encode_png(resize_nearest(img, self.target_w,
                                              self.target_h))
+        if is_jpeg(payload):
+            # REAL path: baseline JPEG decode -> resize -> re-encode
+            try:
+                img = decode_jpeg(payload)
+                return encode_jpeg(resize_nearest(img, self.target_w,
+                                                  self.target_h))
+            except Exception:
+                if not self.fake:
+                    raise
         if not self.fake:
             raise NotImplementedError(
-                "non-PNG image resize requires PIL, not available here; "
-                "run with fake=True for the deterministic stub")
+                "non-PNG/JPEG image resize requires PIL, not available "
+                "here; run with fake=True for the deterministic stub")
         # deterministic fake: size-proportional byte resample
         n_out = max(1, self.target_w * self.target_h // 1024)
         arr = np.frombuffer(payload, dtype=np.uint8)
@@ -303,11 +324,14 @@ def sample_frames(ds, *, num_frames: int = 4, fake: bool = True,
 def synth_media_table(n: int = 64, seed: int = 5,
                       real_png: bool = False,
                       real_wav: bool = False,
-                      real_avi: bool = False) -> pa.Table:
+                      real_avi: bool = False,
+                      real_jpeg: bool = False) -> pa.Table:
     """Deterministic synthetic media table matching MEDIA_SCHEMA.
 
     ``real_png=True``: image rows carry actual (decodable) PNG payloads
     with matching width/height metadata — drives the real decode path.
+    ``real_jpeg=True``: alternating image rows carry baseline JPEG
+    payloads instead (4:2:0/4:4:4 alternating too), driving jpeg.py.
     ``real_wav=True``: audio rows carry actual 16-bit PCM WAV payloads
     (seeded tone + noise mixtures) with matching duration_ms metadata.
     ``real_avi=True``: video rows carry actual uncompressed-DIB AVI
@@ -320,7 +344,15 @@ def synth_media_table(n: int = 64, seed: int = 5,
     for i in range(n):
         w = int(rng.integers(16, 64))
         h = int(rng.integers(16, 64))
-        if real_png and kind_col[i] == "image":
+        if real_jpeg and kind_col[i] == "image" and i % 2 == 1:
+            from .jpeg import encode_jpeg
+
+            img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payloads.append(encode_jpeg(
+                img, quality=85,
+                subsample="420" if i % 4 == 1 else "444"))
+            mimes.append("image/jpeg")
+        elif real_png and kind_col[i] == "image":
             from .png import encode_png
 
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)

@@ -1323,10 +1323,11 @@ def media_features(sf_dir: str):
     """Multimodal decode stage over the deterministic synthetic media
     table (payload columns are not part of the driver testdata).  All
     three modalities take REAL pure-stdlib decode paths: image rows
-    carry PNG payloads (png.py), audio rows 16-bit PCM WAV (wav.py ->
-    spectral/energy features), video rows uncompressed-DIB AVI (avi.py
-    -> temporal pixel features); ``fake=False`` asserts no row can
-    silently fall back to the stub."""
+    carry PNG payloads (png.py) and, alternating, baseline JPEG
+    payloads (jpeg.py — Annex K Huffman + DCT, 4:4:4/4:2:0), audio
+    rows 16-bit PCM WAV (wav.py -> spectral/energy features), video
+    rows uncompressed-DIB AVI (avi.py -> temporal pixel features);
+    ``fake=False`` asserts no row can silently fall back to the stub."""
     import ray.data
 
     from .multimodal import decode_features, synth_media_table
@@ -1334,5 +1335,6 @@ def media_features(sf_dir: str):
     ds = ray.data.from_arrow(synth_media_table(n=64, seed=5,
                                                real_png=True,
                                                real_wav=True,
-                                               real_avi=True))
+                                               real_avi=True,
+                                               real_jpeg=True))
     return decode_features(ds, fake=False)
