@@ -484,14 +484,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
                    count(*) AS n_dups
             FROM documents GROUP BY text""",
+        # engine convention everywhere: candidate cosines are rounded to
+        # 6dp BEFORE the (cosine desc, id asc) selection — mirrored by
+        # ordering on the rounded value in SQL
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
                    round(list_cosine_similarity(
                        e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine
             FROM embeddings e, q
-            ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                            q.qv::DOUBLE[]) DESC, e.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                  q.qv::DOUBLE[]), 6) DESC,
+                     e.vec_id
             LIMIT 10""",
         "quality_scores": f"""
             WITH t AS (SELECT doc_id, text, {TOK} AS toks FROM documents)
@@ -553,10 +557,10 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.qid, e.vec_id,
-                         list_cosine_similarity(e.embedding::DOUBLE[],
-                                                q.qv) AS c
+                         round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qv), 6) AS c
                   FROM embeddings e, q)
-            SELECT qid AS query_id, vec_id, round(c, 6) AS cosine
+            SELECT qid AS query_id, vec_id, c AS cosine
             FROM s
             QUALIFY row_number() OVER (PARTITION BY qid
                                        ORDER BY c DESC, vec_id) <= 10""",

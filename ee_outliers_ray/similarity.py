@@ -55,16 +55,19 @@ def cosine_topk(ds, query_vec: np.ndarray, k: int = 10,
 
     def sim(b: pa.Table) -> pa.Table:
         m = _norm(_batch_mat(b, vec_col))
-        s = m @ q
-        # per-batch prune to k candidates — global top-k is within the
-        # union of per-batch top-ks
+        s = duck_round(m @ q, round_to)
+        # per-batch prune — rounded BEFORE the cut and tie-aware (keep
+        # everything tied with the k-th rounded value), so the global
+        # (cosine desc, id asc) sort can never lose a boundary winner
+        # to the prune
         if len(s) > k:
-            keep = np.argpartition(-s, k - 1)[:k * 2]
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            keep = np.flatnonzero(s >= kth)
         else:
             keep = np.arange(len(s))
         ids = b[id_col].to_numpy(zero_copy_only=False)[keep]
         return pa.table({id_col: pa.array(ids),
-                         "cosine": pa.array(duck_round(s[keep], round_to))})
+                         "cosine": pa.array(s[keep])})
 
     cand = ds.map_batches(sim, batch_format="pyarrow")
     return cand.sort(["cosine", id_col], descending=[True, False]).limit(k)
@@ -356,14 +359,17 @@ def cosine_topk_multi(ds, query_mat: np.ndarray, query_ids: np.ndarray,
         s = m @ qm.T                                   # (ndoc, nq)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n, nq = s.shape
-        if n > 2 * k:
-            # per-query candidate prune: global top-k lives inside the
-            # union of per-batch top-2k (ties + duplicates slack)
-            keep = np.argpartition(-s, 2 * k - 1, axis=0)[:2 * k]
+        # rounded before the cut + tie-aware per-query prune (keep all
+        # rows tied with the k-th rounded value) — same convention as
+        # cosine_topk / probe_topk_multi, so duplicate vectors at the
+        # boundary cannot be dropped before the id-asc tie-break
+        s = duck_round(s, round_to)
+        if n > k:
+            kth = np.partition(s, n - k, axis=0)[n - k]
+            keep = s >= kth[None, :]
         else:
-            keep = np.tile(np.arange(n)[:, None], (1, nq))
-        qi = np.repeat(np.arange(nq), keep.shape[0])
-        rows = keep.T.reshape(-1)
+            keep = np.ones((n, nq), dtype=bool)
+        rows, qi = np.nonzero(keep)
         return pa.table({
             "query_id": pa.array(qids[qi]),
             id_col: pa.array(ids[rows]),
@@ -373,9 +379,7 @@ def cosine_topk_multi(ds, query_mat: np.ndarray, query_ids: np.ndarray,
     cand = ds.map_batches(sim, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cosine", id_col],
                             ascending=[True, False, True], kind="stable")
-    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    out["cosine"] = duck_round(out["cosine"], round_to)
-    return out
+    return cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
 def exact_cosine_pairs(ds, *, threshold: float = 0.45,
