@@ -182,6 +182,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("corrupt JPEG: truncated entropy segment")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -455,6 +457,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("corrupt JPEG: truncated header")
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
         marker = data[pos + 1]
@@ -465,6 +469,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
         seg = data[pos + 2:pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("corrupt JPEG: truncated segment")
         if marker == 0xDB:                                  # DQT
             sp = 0
             while sp < len(seg):

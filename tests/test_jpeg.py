@@ -141,3 +141,13 @@ def test_media_resize_jpeg_real_path():
     resized = decode_jpeg(out["payload"][0].as_py())
     assert resized.shape == (16, 16, 3)
     assert out["width"][0].as_py() == 16
+
+
+def test_truncation_always_raises_valueerror():
+    """Every truncation point of a valid stream raises ValueError (never
+    IndexError / infinite loop) — header, table, and entropy cuts."""
+    img = (np.arange(16 * 16 * 3) % 256).astype(np.uint8).reshape(16, 16, 3)
+    d = encode_jpeg(img, quality=85)
+    for cut in range(4, len(d) - 1, 7):
+        with pytest.raises(ValueError):
+            decode_jpeg(d[:cut])
