@@ -256,6 +256,35 @@ def test_fuzzy_kernel_matches_pure_python():
             assert (got == exp).all(), (q, cands, d)
 
 
+def test_fuzzy_kernel_unicode_property():
+    """Property pin for the BYTE-level contract: over random mixed-width
+    unicode strings (1/2/3-byte code points), the vectorized DP equals a
+    pure-Python Levenshtein run on the UTF-8 BYTES of both sides — the
+    same semantics DuckDB's levenshtein() implements."""
+    from ee_outliers_ray.query.fuzzy import levenshtein_within
+
+    def ref_bytes(a: str, b: str) -> int:
+        a, b = a.encode(), b.encode()
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    rng = np.random.default_rng(17)
+    alpha = list("ab0") + ["é", "ü", "ß", "日", "語"]   # 1/2/3-byte chars
+    for _ in range(80):
+        q = "".join(rng.choice(alpha, size=rng.integers(0, 5)))
+        cands = ["".join(rng.choice(alpha, size=rng.integers(0, 5)))
+                 for _ in range(11)]
+        for d in (0, 1, 2, 3):
+            got = levenshtein_within(q, cands, d)
+            exp = np.array([ref_bytes(q, c) <= d for c in cands])
+            assert (got == exp).all(), (q, cands, d)
+
+
 def test_fuzzy_non_ascii_matches_duckdb():
     """The fuzzy == DuckDB levenshtein() invariant holds for NON-ASCII
     query input too: DuckDB's levenshtein is byte-level over UTF-8
