@@ -325,7 +325,8 @@ def synth_media_table(n: int = 64, seed: int = 5,
                       real_png: bool = False,
                       real_wav: bool = False,
                       real_avi: bool = False,
-                      real_jpeg: bool = False) -> pa.Table:
+                      real_jpeg: bool = False,
+                      real_adpcm: bool = False) -> pa.Table:
     """Deterministic synthetic media table matching MEDIA_SCHEMA.
 
     ``real_png=True``: image rows carry actual (decodable) PNG payloads
@@ -334,6 +335,11 @@ def synth_media_table(n: int = 64, seed: int = 5,
     payloads instead (4:2:0/4:4:4 alternating too), driving jpeg.py.
     ``real_wav=True``: audio rows carry actual 16-bit PCM WAV payloads
     (seeded tone + noise mixtures) with matching duration_ms metadata.
+    ``real_adpcm=True``: alternating audio rows compress the same signal
+    as IMA ADPCM (format 0x0011) instead — 4-bit lossy, decoded by the
+    audioop-pinned kernel in wav.py (same alternation pattern as jpeg;
+    the rng draw sequence is unchanged, so all other rows' payloads stay
+    byte-identical to the real_adpcm=False table).
     ``real_avi=True``: video rows carry actual uncompressed-DIB AVI
     payloads with matching width/height/duration_ms metadata."""
     rng = np.random.default_rng(seed)
@@ -380,9 +386,16 @@ def synth_media_table(n: int = 64, seed: int = 5,
             freq = float(rng.integers(100, 2000))
             sig = 0.5 * np.sin(2 * np.pi * freq * t) \
                 + 0.1 * rng.standard_normal(len(t))
-            payloads.append(encode_wav(
-                np.clip(sig * 32767, -32768, 32767).astype(np.int16), rate))
-            mimes.append("audio/wav")
+            pcm = np.clip(sig * 32767, -32768, 32767).astype(np.int16)
+            if real_adpcm and i % 2 == 1:
+                from .wav import encode_adpcm_wav
+
+                payloads.append(encode_adpcm_wav(pcm, rate,
+                                                 block_align=128))
+                mimes.append("audio/adpcm")
+            else:
+                payloads.append(encode_wav(pcm, rate))
+                mimes.append("audio/wav")
         else:
             size = int(rng.integers(64, 2048))
             payloads.append(rng.integers(0, 256, size=size)

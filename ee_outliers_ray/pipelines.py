@@ -1325,9 +1325,11 @@ def media_features(sf_dir: str):
     three modalities take REAL pure-stdlib decode paths: image rows
     carry PNG payloads (png.py) and, alternating, baseline JPEG
     payloads (jpeg.py — Annex K Huffman + DCT, 4:4:4/4:2:0), audio
-    rows 16-bit PCM WAV (wav.py -> spectral/energy features), video
-    rows uncompressed-DIB AVI (avi.py -> temporal pixel features);
-    ``fake=False`` asserts no row can silently fall back to the stub."""
+    rows 16-bit PCM WAV and, alternating, IMA-ADPCM compressed WAV
+    (wav.py -> spectral/energy features; the ADPCM kernel is pinned
+    bit-exact to stdlib audioop), video rows uncompressed-DIB AVI
+    (avi.py -> temporal pixel features); ``fake=False`` asserts no row
+    can silently fall back to the stub."""
     import ray.data
 
     from .multimodal import decode_features, synth_media_table
@@ -1336,5 +1338,6 @@ def media_features(sf_dir: str):
                                                real_png=True,
                                                real_wav=True,
                                                real_avi=True,
-                                               real_jpeg=True))
+                                               real_jpeg=True,
+                                               real_adpcm=True))
     return decode_features(ds, fake=False)
