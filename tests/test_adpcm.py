@@ -74,19 +74,20 @@ def test_wav_roundtrip_sine_quality_and_trim():
 
 
 @settings(max_examples=20, deadline=None)
-@given(st.integers(1, 600), st.integers(0, 2 ** 31 - 1))
-def test_wav_roundtrip_arbitrary_signals(n, seed):
+@given(st.integers(1, 600), st.integers(0, 2 ** 31 - 1),
+       st.integers(8, 300))
+def test_wav_roundtrip_arbitrary_signals(n, seed, block_align):
     rng = np.random.default_rng(seed)
     # smooth-ish random walk (ADPCM's target signal class), clipped
     sig = np.clip(np.cumsum(rng.integers(-900, 901, size=n)),
                   -32768, 32767).astype(np.int16)
-    payload = encode_adpcm_wav(sig, rate=16000, block_align=64)
+    payload = encode_adpcm_wav(sig, rate=16000, block_align=block_align)
     got, rate = decode_wav(payload)
     assert rate == 16000
     assert got.shape == (n, 1)
     # block headers re-seed exactly -> the first sample of every block
     # is lossless
-    spb = (64 - 4) * 2 + 1
+    spb = (block_align - 4) * 2 + 1
     np.testing.assert_array_equal(got[::spb, 0], sig[::spb])
 
 
