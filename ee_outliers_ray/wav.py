@@ -175,46 +175,73 @@ def adpcm_decode_kernel(nibbles: np.ndarray, pred: int = 0,
     return out, pred, index
 
 
+def _adpcm_geometry(block_align: int, ch: int) -> int:
+    """Samples per block for the given framing; validates the layout.
+    Mono nibbles are contiguous, so any positive data size works;
+    multi-channel interleaves in 4-byte units per channel, so the data
+    region must be a positive multiple of 4*channels."""
+    data_bytes = block_align - 4 * ch
+    if ch == 1:
+        if data_bytes < 1:
+            raise ValueError(f"block_align {block_align} too small")
+        return data_bytes * 2 + 1
+    if data_bytes < 4 * ch or data_bytes % (4 * ch):
+        raise ValueError(
+            f"block_align {block_align} invalid for {ch} channels: data "
+            "region must be a positive multiple of 4*channels")
+    return data_bytes * 2 // ch + 1
+
+
 def encode_adpcm_wav(samples: np.ndarray, rate: int = 16000,
                      block_align: int = 256) -> bytes:
-    """Mono int16 samples -> IMA ADPCM WAV bytes (format 0x0011).
+    """int16 samples (n,) or (n, channels) -> IMA ADPCM WAV (0x0011).
 
-    Each block stores its first sample verbatim in the header and
-    nibble-codes the rest; predictor/step-index carry across blocks for
-    quality but every block stays independently decodable (the header
-    re-seeds the state).  The final block zero-pads; the fact chunk's
-    sample count trims it on decode."""
+    Each block stores each channel's first frame verbatim in its 4-byte
+    per-channel header and nibble-codes the rest; step indexes carry
+    across blocks for quality but every block stays independently
+    decodable (the header re-seeds the state).  Multi-channel data
+    interleaves in the standard 4-byte (8-nibble) units per channel.
+    The final block zero-pads; the fact chunk's frame count trims it on
+    decode."""
     s = np.asarray(samples, dtype=np.int16)
-    if s.ndim == 2:
-        if s.shape[1] != 1:
-            raise ValueError("ADPCM encoder is mono-only")
-        s = s[:, 0]
-    n = len(s)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
     if n == 0:
         raise ValueError("cannot encode an empty signal")
-    spb = (block_align - 4) * 2 + 1          # samples per block
+    spb = _adpcm_geometry(block_align, ch)
     n_blocks = -(-n // spb)
-    padded = np.zeros(n_blocks * spb, dtype=np.int16)
+    padded = np.zeros((n_blocks * spb, ch), dtype=np.int16)
     padded[:n] = s
-    # seed the step index from the first block's mean slew rate — the
-    # header carries it, so decoders are unaffected, and the usual
-    # cold-start attack transient (index 0 = step 7 vs a signal slewing
-    # thousands of LSB/sample) disappears
-    d0 = np.abs(np.diff(padded[:spb].astype(np.int64)))
-    index = int(min(88, np.searchsorted(_IMA_STEP, d0.mean()))) \
-        if len(d0) else 0
-    pred = 0
+    # seed each channel's step index from the first block's mean slew
+    # rate — the header carries it, so decoders are unaffected, and the
+    # usual cold-start attack transient (index 0 = step 7 vs a signal
+    # slewing thousands of LSB/sample) disappears
+    idx = []
+    for c in range(ch):
+        d0 = np.abs(np.diff(padded[:spb, c].astype(np.int64)))
+        idx.append(int(min(88, np.searchsorted(_IMA_STEP, d0.mean())))
+                   if len(d0) else 0)
+    groups = (block_align - 4 * ch) // (4 * ch)   # per channel (ch > 1)
     blocks = []
     for b in range(n_blocks):
         chunk = padded[b * spb:(b + 1) * spb]
-        pred = int(chunk[0])                  # header re-seeds predictor
-        header = struct.pack("<hBB", pred, index, 0)
-        nib, pred, index = adpcm_encode_kernel(chunk[1:], pred, index)
-        packed = (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8)  # low first
-        blocks.append(header + packed.tobytes())
+        header, ch_packed = b"", []
+        for c in range(ch):
+            pred = int(chunk[0, c])           # header re-seeds predictor
+            header += struct.pack("<hBB", pred, idx[c], 0)
+            nib, _, idx[c] = adpcm_encode_kernel(chunk[1:, c], pred, idx[c])
+            ch_packed.append(                  # low nibble first
+                (nib[0::2] | (nib[1::2] << 4)).astype(np.uint8))
+        if ch == 1:
+            body = ch_packed[0]
+        else:
+            body = np.stack([p.reshape(groups, 4) for p in ch_packed],
+                            axis=1).reshape(-1)
+        blocks.append(header + body.tobytes())
     data = b"".join(blocks)
     avg_bps = (rate * block_align + spb - 1) // spb
-    fmt = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, 1, rate, avg_bps,
+    fmt = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, ch, rate, avg_bps,
                       block_align, 4, 2, spb)
     fact = struct.pack("<I", n)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
@@ -239,29 +266,36 @@ def _decode_adpcm_wav(payload: bytes) -> tuple[np.ndarray, int]:
         struct.unpack_from("<HHIIHH", fmt_raw, 0)
     if tag != _FMT_IMA_ADPCM or bits != 4:
         raise ValueError(f"not 4-bit IMA ADPCM (tag={tag}, bits={bits})")
-    if ch != 1:
-        raise ValueError("ADPCM decoder is mono-only")
+    if not 1 <= ch <= 8:
+        raise ValueError(f"unsupported channel count {ch}")
     spb = struct.unpack_from("<H", fmt_raw, 18)[0] if len(fmt_raw) >= 20 \
-        else (block_align - 4) * 2 + 1
+        else _adpcm_geometry(block_align, ch)
     if len(data) % block_align:
         raise ValueError("truncated ADPCM data (partial block)")
+    data_bytes = block_align - 4 * ch
+    groups = data_bytes // (4 * ch)
     out = []
     for boff in range(0, len(data), block_align):
-        pred, index = struct.unpack_from("<hB", data, boff)
-        if index > 88:
-            raise ValueError(f"corrupt step index {index}")
-        packed = np.frombuffer(data, dtype=np.uint8,
-                               count=block_align - 4, offset=boff + 4)
-        nib = np.empty(len(packed) * 2, dtype=np.uint8)
-        nib[0::2] = packed & 0x0F                # low nibble first
-        nib[1::2] = packed >> 4
-        dec, _, _ = adpcm_decode_kernel(nib[:spb - 1], pred, index)
-        out.append(np.concatenate(
-            ([np.int16(pred)], dec)).astype(np.int16))
+        payload_b = np.frombuffer(data, dtype=np.uint8, count=data_bytes,
+                                  offset=boff + 4 * ch)
+        cols = []
+        for c in range(ch):
+            pred, index = struct.unpack_from("<hB", data, boff + 4 * c)
+            if index > 88:
+                raise ValueError(f"corrupt step index {index}")
+            cb = payload_b if ch == 1 else \
+                payload_b.reshape(groups, ch, 4)[:, c, :].reshape(-1)
+            nib = np.empty(len(cb) * 2, dtype=np.uint8)
+            nib[0::2] = cb & 0x0F                # low nibble first
+            nib[1::2] = cb >> 4
+            dec, _, _ = adpcm_decode_kernel(nib[:spb - 1], pred, index)
+            cols.append(np.concatenate(
+                ([np.int16(pred)], dec)).astype(np.int16))
+        out.append(np.stack(cols, axis=1))
     samples = np.concatenate(out)
     if n_samples is not None:
         samples = samples[:n_samples]
-    return samples[:, None], rate
+    return samples, rate
 
 
 def audio_features(samples: np.ndarray, rate: int,
