@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     entry whose implementation changed in the round-5 diff (ann_ivf,
     search_and, fuzzy_search, index_append_term_df, hash_join_revenue,
     asof_join_events, enrichment, dedup_minhash/ngram, media_features —
-    jpeg decode became real this round) sits inside the driver's
+    jpeg AND IMA-ADPCM decode became real this round) sits inside the driver's
     externally checked 50-entry window; dedup_keep_list (a trivial
     anti-join over dedup_clusters' output, both driver-green r4 and
     pytest-parity-checked) holds the tail slot that freed."""
