@@ -17,6 +17,18 @@ import numpy as np
 import ray
 
 
+def auto_shards(cap: int = 8) -> int:
+    """Shard count sized to the cluster: ~1 shard per 4 CPUs, floor 2,
+    capped.  At 0.25 CPU per shard actor the store reserves at most
+    1/16 of cluster CPU, so a store (or two overlapping ones — e.g. a
+    just-released pipeline's actors lingering through distributed ref-
+    counting GC) can never starve the map tasks that feed or query it
+    on a small cluster."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(cap, cpus // 4))
+
+
 @ray.remote(num_cpus=0.25)
 class _LookupShard:
     def __init__(self):
@@ -68,9 +80,20 @@ class ShardedStore:
 
     DEFAULT_SHARDS = 8
 
-    def __init__(self, num_shards: int = 8):
+    def __init__(self, num_shards: int | None = None):
+        if num_shards is None:
+            num_shards = auto_shards()
         self.num_shards = num_shards
         self.shards = [_LookupShard.remote() for _ in range(num_shards)]
+
+    def shutdown(self) -> None:
+        """Kill the shard actors now instead of waiting for distributed
+        ref-counting GC — call once every consumer of the store has
+        materialized (a lingering pool's reserved CPUs can stall the
+        next pipeline's store build on a small cluster)."""
+        for a in self.shards:
+            ray.kill(a)
+        self.shards = []
 
     def _shard_of(self, keys: np.ndarray) -> np.ndarray:
         return (keys.astype(np.int64) % self.num_shards).astype(np.int64)

@@ -225,7 +225,8 @@ class IvfIndex:
 
 def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
                         bands: int = 4, seed: int = 13,
-                        vec_col: str = "embedding", id_col: str = "vec_id"):
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        max_driver_candidate_rows: int = 2_000_000):
     """Cosine near-dup pairs: random-hyperplane signatures -> band
     buckets (ids only — float vectors are NOT replicated through the
     shuffle) -> candidate pairs -> exact cosine verify against a
@@ -279,7 +280,41 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    if int(crowded["n"].sum()) <= 2_000_000:
+    def make_kv(b: pa.Table):
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _norm(_batch_mat(b, vec_col))
+        return ids, [m[i] for i in range(len(ids))]
+
+    thr = threshold
+
+    def _verify_closure(store):
+        def verify(b: pa.Table) -> pa.Table:
+            ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # within-block pre-dedupe: the same pair repeats across LSH
+            # bands; unique-ing the (tiny) block here bounds duplicate
+            # verify work without any cross-block shuffle
+            uq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+            ia, ib = uq[:, 0], uq[:, 1]
+            # packed fetch: one buffer per shard RPC, then vectorized row
+            # gathers for both pair sides (no per-pair Python)
+            uids, flat, off, present = \
+                store.get_array_segments(np.concatenate([ia, ib]))
+            assert present.all(), "candidate vector missing from store"
+            dim = int(off[1] - off[0]) if len(uids) else 0
+            mat = flat.reshape(len(uids), dim)
+            va = mat[np.searchsorted(uids, ia)]
+            vb = mat[np.searchsorted(uids, ib)]
+            sims = (va * vb).sum(axis=1)
+            keep = sims >= thr
+            return pa.table({
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
+                "cosine": pa.array(duck_round(sims[keep], 6)),
+            })
+        return verify
+
+    if int(crowded["n"].sum()) <= max_driver_candidate_rows:
         # driver-side pair generation (dup-cluster-bounded rows) — fully
         # vectorized lexsort + equal-size triu batching, no per-bucket
         # Python (dedup._pairs_from_bucket_rows)
@@ -287,48 +322,46 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
 
         id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col,
                                         bucket_cols=["band_id", "band_val"])
-    else:
-        id_df = distinct_pairs(
-            filt.groupby(["band_id", "band_val"])
-            .map_groups(pairs, batch_format="pandas")).to_pandas()
-    if id_df.empty:
+        if id_df.empty:
+            return _empty()
+        cand = ray.data.from_pandas(id_df)
+        cand_ids = np.unique(np.concatenate(
+            [id_df["id_a"].to_numpy(np.int64),
+             id_df["id_b"].to_numpy(np.int64)]))
+        store = ShardedStore().build(
+            candidate_id_filter(ds.select_columns([id_col, vec_col]),
+                                cand_ids, id_col),
+            make_kv)
+        # verify output is dup-cluster-bounded (small); materialize it so
+        # the store actors can be released NOW rather than when GC drops
+        # the closure — a lingering pool starves the next store build on
+        # a small cluster
+        out = cand.map_batches(_verify_closure(store),
+                               batch_format="pyarrow").materialize()
+        store.shutdown()
+        return out
+
+    # distributed branch: at corpus scale random band collisions dominate
+    # the candidate stream (e.g. 16-bit bands over 1M vectors -> ~60M
+    # candidate pairs for a few thousand true dups), so the pair stream
+    # must NEVER be globally deduped or pulled to the driver before the
+    # cheap vectorized verify.  Pairs flow map_groups -> verify as a
+    # Dataset (block-local pre-dedupe only); the exact-cosine filter cuts
+    # the stream down to the dup-bounded survivors, and only THOSE pay a
+    # distinct shuffle.  The vector store is built over the full corpus
+    # (the candidate id set is ~the corpus here, so pre-filtering would
+    # only add a pass) — it is hash-sharded, the one structure that must
+    # hold the vectors anyway.
+    store = ShardedStore().build(ds.select_columns([id_col, vec_col]),
+                                 make_kv)
+    cand = filt.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas")
+    verified = cand.map_batches(_verify_closure(store),
+                                batch_format="pyarrow").materialize()
+    store.shutdown()
+    if verified.count() == 0:
         return _empty()
-    cand = ray.data.from_pandas(id_df)
-    cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
-                                         id_df["id_b"].to_numpy(np.int64)]))
-
-    def make_kv(b: pa.Table):
-        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _norm(_batch_mat(b, vec_col))
-        return ids, [m[i] for i in range(len(ids))]
-
-    store = ShardedStore(8).build(
-        candidate_id_filter(ds.select_columns([id_col, vec_col]),
-                            cand_ids, id_col),
-        make_kv)
-    thr = threshold
-
-    def verify(b: pa.Table) -> pa.Table:
-        ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # packed fetch: one buffer per shard RPC, then vectorized row
-        # gathers for both pair sides (no per-pair Python)
-        uids, flat, off, present = \
-            store.get_array_segments(np.concatenate([ia, ib]))
-        assert present.all(), "candidate vector missing from store"
-        dim = int(off[1] - off[0]) if len(uids) else 0
-        mat = flat.reshape(len(uids), dim)
-        va = mat[np.searchsorted(uids, ia)]
-        vb = mat[np.searchsorted(uids, ib)]
-        sims = (va * vb).sum(axis=1)
-        keep = sims >= thr
-        return pa.table({
-            "id_a": pa.array(ia[keep]),
-            "id_b": pa.array(ib[keep]),
-            "cosine": pa.array(duck_round(sims[keep], 6)),
-        })
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return distinct_pairs(verified, extra_max_col="cosine")
 
 
 def _first_dim(ds, vec_col: str) -> int:

@@ -204,6 +204,31 @@ def test_embedding_dups_verified_cosine():
         assert sims[a, b] >= 0.95 - 1e-9
 
 
+def test_embedding_dups_distributed_branch_equals_driver():
+    """Forcing the distributed candidate path (max_driver_candidate_rows=0:
+    pairs stream -> store-backed verify -> survivor-only distinct) must
+    produce exactly the driver branch's pair set and cosines."""
+    from ee_outliers_ray.similarity import embedding_near_dups
+
+    rng = np.random.default_rng(17)
+    vecs = []
+    for c in range(6):  # 6 planted clusters of 3 near-identical vectors
+        base = rng.standard_normal(24)
+        vecs += [base + rng.standard_normal(24) * 0.02 for _ in range(3)]
+    vecs += [rng.standard_normal(24) for _ in range(60)]
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs]}))
+
+    drv = embedding_near_dups(ds, threshold=0.95).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    dist = embedding_near_dups(
+        ds, threshold=0.95, max_driver_candidate_rows=0).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(drv, dist[drv.columns], check_like=False)
+    assert len(drv) >= 6 * 3  # every planted cluster contributes pairs
+
+
 def test_ann_ivf_recall_vs_brute_force():
     """ann_ivf_recall is the production-nprobe recall table (one row per
     fixed query, deterministic); the floor here is the pytest gate for
