@@ -80,7 +80,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     jpeg AND IMA-ADPCM decode became real this round) sits inside the driver's
     externally checked 50-entry window; dedup_keep_list (a trivial
     anti-join over dedup_clusters' output, both driver-green r4 and
-    pytest-parity-checked) holds the tail slot that freed."""
+    pytest-parity-checked) holds the tail slot that freed.
+
+    Late-r5 note: embedding_dups' DISTRIBUTED candidate path (engaged only
+    above max_driver_candidate_rows=2M, i.e. never at driver scale) was
+    rewritten after the freeze; the ordering stays frozen rather than
+    reshuffled again.  External-verification strength is unaffected:
+    embedding_dups is a no_oracle entry (LSH recall is probabilistic, so
+    no SQL oracle exists), its driver check is rows-only wherever it
+    sits, and at sf0.01 the correct answer is 0 rows (max true pairwise
+    cosine is 0.513 < the 0.9 threshold, verified against exact brute
+    force) — so window placement carries no signal for it.  The change
+    is pinned instead by a forced-branch pytest (distributed path ==
+    driver path exactly) and the 1M-doc recall datum in BASELINE.md."""
     return {
         # --- full-text / index (SURVEY §2 Q1, A11, O8, M13) ---
         "token_counts": P.token_counts,
