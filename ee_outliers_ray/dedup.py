@@ -340,16 +340,6 @@ _DRIVER_VERIFY_MAX_IDS = 200_000
 _INCIDENCE_JOIN_MAX = 32_000_000
 
 
-def _pairs_of_group(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """All distinct unordered id pairs within one bucket group."""
-    ids = np.unique(g[id_col].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                             "id_b": pd.Series(dtype=np.int64)})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-
 def _shingles(text: str, k: int) -> set:
     """Exact token-tuple shingle set (reference kernel for tests and the
     SQL oracle; the pipeline uses the hashed form)."""
@@ -441,13 +431,9 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
         batch_format="pyarrow")
 
     buckets = filter_crowded_buckets(buckets, ["bucket"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_of_group(g, id_col)
-
-    cand = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    # coarse-partition vectorized pair generation (no per-bucket Python);
     # candidates may repeat across bands -> vectorized distinct
-    return distinct_pairs(cand)
+    return distinct_pairs(_pairs_distributed(buckets, id_col))
 
 
 def candidate_id_filter(ds, cand_ids: np.ndarray, id_col: str):
@@ -544,6 +530,49 @@ def _pairs_from_bucket_rows(rows: pd.DataFrame, id_col: str,
     return _distinct_sorted_pairs_df(a, b)
 
 
+def _pairs_distributed(filt, id_col: str,
+                       bucket_cols: list[str] | None = None,
+                       num_parts: int | None = None):
+    """Distinct within-bucket pairs, DISTRIBUTED, without per-bucket
+    Python: hash every bucket key to one of ~4xCPU coarse partitions
+    (a bucket lands in exactly one), groupby the coarse key, and run
+    the vectorized lexsort pair kernel (`_pairs_from_bucket_rows`) once
+    per partition over its thousands of buckets.  Replaces
+    ``groupby(bucket).map_groups(pairs)`` — at 1M docs that shape is
+    millions of single-bucket pandas groups and the per-group dispatch
+    dominates wall time.  Pairs repeating across buckets (LSH bands)
+    can still repeat ACROSS partitions, exactly as in the per-bucket
+    form — downstream distinct/verify stages already handle that."""
+    import ray
+
+    from .hashing import mix64
+
+    bucket_cols = bucket_cols or ["bucket"]
+    if num_parts is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        num_parts = max(16, 4 * cpus)
+    np_parts = np.uint64(num_parts)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = b[bucket_cols[0]].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        for c in bucket_cols[1:]:
+            v = b[c].to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            # uint64 wrap-around combine, then mix for partition balance
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x9E3779B97F4A7C15) + v
+        part = (mix64(h) % np_parts).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_from_bucket_rows(g, id_col, bucket_cols=bucket_cols)
+
+    return filt.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part").map_groups(pairs_part, batch_format="pandas")
+
+
 def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_shards: int = 8,
@@ -583,12 +612,7 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
     if n_crowded_rows <= max_driver_candidate_rows:
         id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
     else:
-        def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            return _pairs_of_group(g, id_col)
-
-        id_df = distinct_pairs(
-            filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
-        ).to_pandas()
+        id_df = distinct_pairs(_pairs_distributed(filt, id_col)).to_pandas()
     if id_df.empty:
         return _empty()
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
@@ -604,7 +628,10 @@ def minhash_near_dups(ds, *, threshold: float = 0.8, shingle_k: int = 3,
         sh, off = batch_shingle_hashes(b[text_col], shingle_k)
         usha, uoff = unique_per_segment(sh, off)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return ids, [usha[uoff[i]:uoff[i + 1]] for i in range(len(ids))]
+        # array-mode store push: the (flat sorted-unique shingles, lens)
+        # pair goes through as two buffers — per-doc segments stay in
+        # sorted uint64 order end-to-end (the packed-verify invariant)
+        return ids, usha, np.diff(uoff).astype(np.int64)
 
     store = ShardedStore(num_shards).build(
         candidate_id_filter(ds.select_columns([id_col, text_col]),
@@ -790,12 +817,7 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
     if int(crowded["n"].sum()) <= max_driver_candidate_rows:
         id_df = _pairs_from_bucket_rows(filt.to_pandas(), id_col)
     else:
-        def pairs(g: pd.DataFrame) -> pd.DataFrame:
-            return _pairs_of_group(g, id_col)
-
-        id_df = distinct_pairs(
-            filt.groupby("bucket").map_groups(pairs, batch_format="pandas")
-        ).to_pandas()
+        id_df = distinct_pairs(_pairs_distributed(filt, id_col)).to_pandas()
     if id_df.empty:
         return _empty()
     cand_ids = np.unique(np.concatenate([id_df["id_a"].to_numpy(np.int64),
@@ -811,7 +833,10 @@ def ngram_jaccard_dups(ds, *, threshold: float = 0.5, shingle_k: int = 3,
         sh, off = batch_shingle_hashes(b[text_col], shingle_k)
         usha, uoff = unique_per_segment(sh, off)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return ids, [usha[uoff[i]:uoff[i + 1]] for i in range(len(ids))]
+        # array-mode store push: the (flat sorted-unique shingles, lens)
+        # pair goes through as two buffers — per-doc segments stay in
+        # sorted uint64 order end-to-end (the packed-verify invariant)
+        return ids, usha, np.diff(uoff).astype(np.int64)
 
     store = ShardedStore(num_shards).build(
         candidate_id_filter(ds.select_columns([id_col, text_col]),

@@ -29,14 +29,67 @@ def auto_shards(cap: int = 8) -> int:
     return max(2, min(cap, cpus // 4))
 
 
+def _segment_gather(flat: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray) -> np.ndarray:
+    """Concatenate variable-length segments flat[starts[i]:starts[i]+
+    lens[i]] in order — one vectorized gather, no per-segment Python.
+    Preserves intra-segment order (the dedup sorted-shingle invariant)."""
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    out_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=out_starts[1:])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_starts, lens) + np.repeat(starts, lens))
+    return flat[pos]
+
+
 @ray.remote(num_cpus=0.25)
 class _LookupShard:
     def __init__(self):
         self._d: dict = {}
+        # array mode: raw (keys, flat, lens) pushes, consolidated lazily
+        # into (sorted keys, flat-in-key-order, offsets) on first read
+        self._chunks: list = []
+        self._cons: tuple | None = None
 
     def put_many(self, keys, values) -> int:
         self._d.update(zip(keys, values))
         return len(self._d)
+
+    def put_arrays(self, keys, flat, lens) -> int:
+        """Array-value push: ONE (keys, concatenated values, lengths)
+        buffer triple per RPC — no per-key Python on either side.  The
+        vectorized replacement for put_many(list-of-small-arrays), which
+        cost a dict insert + array pickle per key and dominated the
+        store build at 10^6 keys."""
+        self._chunks.append((np.asarray(keys, dtype=np.int64), flat,
+                             np.asarray(lens, dtype=np.int64)))
+        self._cons = None
+        return len(keys)
+
+    def _consolidate(self) -> tuple:
+        if self._cons is None:
+            ks = np.concatenate([c[0] for c in self._chunks])
+            fl = np.concatenate([c[1] for c in self._chunks])
+            ln = np.concatenate([c[2] for c in self._chunks])
+            starts = np.zeros(len(ks), dtype=np.int64)
+            np.cumsum(ln[:-1], out=starts[1:])
+            order = np.argsort(ks, kind="stable")
+            # last-write-wins on duplicate keys (dict parity): stable
+            # sort keeps push order within equal keys, keep each run's
+            # final occurrence
+            ks_s = ks[order]
+            keep = np.ones(len(ks_s), dtype=bool)
+            keep[:-1] = ks_s[1:] != ks_s[:-1]
+            order, ks_s = order[keep], ks_s[keep]
+            lens_o = ln[order]
+            off = np.zeros(len(order) + 1, dtype=np.int64)
+            np.cumsum(lens_o, out=off[1:])
+            self._cons = (ks_s, _segment_gather(fl, starts[order], lens_o),
+                          off)
+            self._chunks = []
+        return self._cons
 
     def append_many(self, keys, values) -> int:
         """List-append semantics: multiple pushes for one key accumulate
@@ -55,7 +108,25 @@ class _LookupShard:
         """For 1-D numpy-array values: ONE concatenated buffer + lengths
         + presence mask per request.  Serializing one big array is far
         cheaper than pickling thousands of ~1 KB arrays individually —
-        the per-RPC cost that dominated the dedup verify stage."""
+        the per-RPC cost that dominated the dedup verify stage.
+
+        Array-mode stores (put_arrays) answer with searchsorted + one
+        vectorized segment gather — zero per-key Python; dict-mode
+        stores (put_many) keep the original per-key path."""
+        if self._chunks or self._cons is not None:
+            ks, fl, off = self._consolidate()
+            keys = np.asarray(keys, dtype=np.int64)
+            if len(ks):
+                i = np.minimum(np.searchsorted(ks, keys), len(ks) - 1)
+                present = ks[i] == keys
+            else:
+                i = np.zeros(len(keys), dtype=np.int64)
+                present = np.zeros(len(keys), dtype=bool)
+            lens = np.where(present, off[i + 1] - off[i], 0) \
+                .astype(np.int64)
+            pi = np.flatnonzero(present)
+            flat = _segment_gather(fl, off[i[pi]], lens[pi])
+            return present, lens, flat
         d = self._d
         vals = [d.get(k) for k in keys]
         present = np.fromiter((v is not None for v in vals), dtype=bool,
@@ -67,6 +138,8 @@ class _LookupShard:
         return present, lens, flat
 
     def size(self) -> int:
+        if self._chunks or self._cons is not None:
+            return len(self._consolidate()[0])
         return len(self._d)
 
 
@@ -100,22 +173,40 @@ class ShardedStore:
 
     def build(self, ds, make_kv, batch_format: str = "pyarrow",
               append: bool = False) -> "ShardedStore":
+        """``make_kv`` returns either ``(keys, values)`` (dict mode,
+        arbitrary Python values) or ``(keys, flat, lens)`` (array mode:
+        one concatenated 1-D value buffer + per-key lengths — fully
+        vectorized through push AND fetch, the form every numpy-array
+        consumer should use)."""
         shards = self.shards
         n = self.num_shards
 
         def push(b):
-            keys, values = make_kv(b)
-            keys = np.asarray(keys, dtype=np.int64)
+            kv = make_kv(b)
+            keys = np.asarray(kv[0], dtype=np.int64)
             sh = keys % n
             refs = []
-            for s in range(n):
-                m = sh == s
-                if m.any():
-                    idx = np.flatnonzero(m)
-                    method = (shards[s].append_many if append
-                              else shards[s].put_many)
-                    refs.append(method.remote(
-                        keys[idx].tolist(), [values[i] for i in idx]))
+            if len(kv) == 3:
+                flat, lens = kv[1], np.asarray(kv[2], dtype=np.int64)
+                starts = np.zeros(len(keys), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                for s in range(n):
+                    m = sh == s
+                    if m.any():
+                        refs.append(shards[s].put_arrays.remote(
+                            keys[m],
+                            _segment_gather(flat, starts[m], lens[m]),
+                            lens[m]))
+            else:
+                values = kv[1]
+                for s in range(n):
+                    m = sh == s
+                    if m.any():
+                        idx = np.flatnonzero(m)
+                        method = (shards[s].append_many if append
+                                  else shards[s].put_many)
+                        refs.append(method.remote(
+                            keys[idx].tolist(), [values[i] for i in idx]))
             ray.get(refs)
             import pyarrow as pa
             return pa.table({"n": pa.array([len(keys)], type=pa.int64())})

@@ -272,18 +272,13 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
     if crowded.empty:
         return _empty()
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                                 "id_b": pd.Series(dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
     def make_kv(b: pa.Table):
+        # array-mode store push: one flat buffer + fixed lens per batch
+        # (no per-row numpy slices through the RPC)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = _norm(_batch_mat(b, vec_col))
-        return ids, [m[i] for i in range(len(ids))]
+        return ids, m.ravel(), np.full(len(ids), m.shape[1] if m.size
+                                       else 0, dtype=np.int64)
 
     thr = threshold
 
@@ -292,10 +287,18 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
             ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
             ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
             # within-block pre-dedupe: the same pair repeats across LSH
-            # bands; unique-ing the (tiny) block here bounds duplicate
-            # verify work without any cross-block shuffle
-            uq = np.unique(np.stack([ia, ib], axis=1), axis=0)
-            ia, ib = uq[:, 0], uq[:, 1]
+            # bands; unique-ing the block here bounds duplicate verify
+            # work without any cross-block shuffle.  Packed-uint64 key
+            # when ids fit 32 bits (one np.unique, ~20x the axis=0
+            # struct-sort — same trick as dedup._distinct_sorted_pairs_df)
+            if len(ia) and ia.min() >= 0 and ib.max() < (1 << 32):
+                key = np.unique((ia.astype(np.uint64) << np.uint64(32))
+                                | ib.astype(np.uint64))
+                ia = (key >> np.uint64(32)).astype(np.int64)
+                ib = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            else:
+                uq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+                ia, ib = uq[:, 0], uq[:, 1]
             # packed fetch: one buffer per shard RPC, then vectorized row
             # gathers for both pair sides (no per-pair Python)
             uids, flat, off, present = \
@@ -303,9 +306,11 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
             assert present.all(), "candidate vector missing from store"
             dim = int(off[1] - off[0]) if len(uids) else 0
             mat = flat.reshape(len(uids), dim)
-            va = mat[np.searchsorted(uids, ia)]
-            vb = mat[np.searchsorted(uids, ib)]
-            sims = (va * vb).sum(axis=1)
+            # einsum fuses multiply+reduce (no (n, dim) product temporary
+            # — ~2.3x the (va*vb).sum form at 2M-pair blocks), float64
+            # accumulation unchanged
+            sims = np.einsum("ij,ij->i", mat[np.searchsorted(uids, ia)],
+                             mat[np.searchsorted(uids, ib)])
             keep = sims >= thr
             return pa.table({
                 "id_a": pa.array(ia[keep]),
@@ -352,10 +357,12 @@ def embedding_near_dups(ds, *, threshold: float = 0.95, n_planes: int = 64,
     # (the candidate id set is ~the corpus here, so pre-filtering would
     # only add a pass) — it is hash-sharded, the one structure that must
     # hold the vectors anyway.
+    from .dedup import _pairs_distributed
+
     store = ShardedStore().build(ds.select_columns([id_col, vec_col]),
                                  make_kv)
-    cand = filt.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = _pairs_distributed(filt, id_col,
+                              bucket_cols=["band_id", "band_val"])
     verified = cand.map_batches(_verify_closure(store),
                                 batch_format="pyarrow").materialize()
     store.shutdown()
