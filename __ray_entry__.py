@@ -167,6 +167,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: no_oracle (iterative / approximate) ----
         "word2vec_outliers": P.word2vec_outliers,
         "embedding_dups": P.embedding_dups,
+        # ---- appended after the r5 freeze (append-only per the frozen
+        # ordering: nothing above moves, nothing leaves the window).
+        # NEW operator, driver-visible here and oracle-parity-checked
+        # every pytest session (tests/test_oracle_parity.py) plus pinned
+        # to exhaustive truth in tests/test_substring_dups.py ----
+        "substring_dups": P.substring_dups,
     }
 
 
@@ -693,6 +699,30 @@ def oracle_sql() -> dict[str, str]:
         # Ray pipeline's 4-band pigeonhole candidates are complete for
         # hamming <= 3, so the outputs must match exactly
         "dedup_simhash": _ohs.simhash_pairs_sql(max_hamming=3),
+        # exact substring-duplicate spans: substr self-join ground truth.
+        # Byte windows == character windows because the corpus is ASCII
+        # (verified for every sf); the Ray kernel is byte-level over
+        # utf-8 by contract (same stance as the byte-level levenshtein).
+        # generate_series is a constant upper bound (docs cap at ~600
+        # chars in the testdata; the i <= n-39 join prunes the rest).
+        "substring_dups": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            idx AS (SELECT i FROM generate_series(1, 8192) t(i)),
+            pos AS (SELECT d.doc_id, idx.i, substr(d.text, idx.i, 40) AS g
+                    FROM d JOIN idx ON idx.i <= d.n - 39),
+            rep AS (SELECT g FROM pos GROUP BY g
+                    HAVING count(DISTINCT doc_id) >= 2),
+            hit AS (SELECT p.doc_id, p.i FROM pos p JOIN rep USING (g)),
+            off AS (SELECT i - 1 AS o FROM generate_series(1, 40) t(i)),
+            cov AS (SELECT DISTINCT hit.doc_id, hit.i + off.o AS ch
+                    FROM hit CROSS JOIN off)
+            SELECT w.doc_id, w.dup_windows, c.dup_cover
+            FROM (SELECT doc_id, count(*) AS dup_windows
+                  FROM hit GROUP BY doc_id) w
+            JOIN (SELECT doc_id, count(*) AS dup_cover
+                  FROM cov GROUP BY doc_id) c USING (doc_id)
+            ORDER BY doc_id""",
         # no oracle (approximate / iterative / stubbed — justified):
         # embedding_dups, word2vec_outliers, media_features
     }

@@ -36,6 +36,7 @@ from .hashing import (
     mix64,
     shingle_hashes,
     simhash_from_tokens,
+    string_bytes,
     unique_per_segment,
 )
 from .tokenizer import tokenize, tokenize_column
@@ -1119,3 +1120,154 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
     cand = filt.groupby(["band_id", "band_val"]).map_groups(
         pairs, batch_format="pandas")
     return distinct_pairs(cand, extra_max_col="hamming")
+
+
+# --------------------------------------------------------------------------
+# exact substring-duplicate spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — fixed-window variant)
+# --------------------------------------------------------------------------
+
+
+def _substring_candidates(ds, L: int, winnow: int,
+                          text_col: str, id_col: str) -> np.ndarray:
+    """Sorted uint64 array of window-hashes that occur in >= 2 distinct
+    documents.  One streaming pass + one groupby: each batch emits the
+    per-doc DISTINCT window hashes (a doc lives in exactly one row, so a
+    (hash, doc) pair is globally unique by construction and a plain
+    ``Count`` per hash == the distinct-doc count).  The count table is
+    filtered INSIDE Ray; only qualifying hashes (bounded by truly
+    repeated grams, not corpus size) reach the driver."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from .hashing import window_hashes, winnow_mask
+
+    def sig(b: pa.Table) -> pa.Table:
+        data, off = string_bytes(b[text_col])
+        seg, _pos, h = window_hashes(data, off, L)
+        if winnow > 1:
+            m = winnow_mask(h, seg, winnow)
+            seg, h = seg[m], h[m]
+        counts = np.bincount(seg, minlength=len(off) - 1)
+        woff = np.zeros(len(off), dtype=np.int64)
+        np.cumsum(counts, out=woff[1:])
+        uh, _uoff = unique_per_segment(h, woff)
+        # int64 bit-view: this column crosses a Ray groupby
+        return pa.table({"h": pa.array(uh.view(np.int64))})
+
+    counts = ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("h").aggregate(Count(alias_name="n"))
+    cand = counts.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["n"], 2)).select(["h"]),
+        batch_format="pyarrow")
+    cand_df = cand.to_pandas()
+    if cand_df.empty:  # all-empty blocks drop the schema — no candidates
+        return np.zeros(0, dtype=np.uint64)
+    return np.sort(cand_df["h"].to_numpy().view(np.uint64))
+
+
+def _substring_hits(ds, L: int = 40, winnow: int = 1,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, pos) of every length-``L`` byte window whose CONTENTS
+    appear verbatim in at least one OTHER document (``pos`` 0-based).
+
+    Exact by construction: stage 1 finds candidate window-hashes shared
+    by >= 2 docs (the only corpus-wide shuffle), stage 2 re-streams the
+    corpus and extracts the actual gram BYTES at candidate positions
+    only, stage 3 groups by hash (int64 key) and keeps grams verified to
+    span >= 2 distinct docs — hash collisions are eliminated on the real
+    bytes, so false positives are impossible.
+
+    ``winnow=w > 1`` is the scale path: only robust-winnowing
+    fingerprints (hashing.winnow_mask) participate, cutting the stage-1
+    shuffle by ~(w+1)/2 while guaranteeing detection of any shared
+    substring of length >= L + w - 1; reported positions are then the
+    shared FINGERPRINT windows (still exact verbatim matches).
+
+    Windows are BYTE-level over utf-8 (== character-level on ASCII
+    corpora, same contract as the fuzzy byte-level levenshtein)."""
+    import ray
+    import ray.data
+
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64())})
+    cand = _substring_candidates(ds, L, winnow, text_col, id_col)
+    if len(cand) == 0:
+        return ray.data.from_arrow(empty)
+    ref = ray.put(cand)
+
+    from .hashing import window_hashes, winnow_mask
+
+    def extract(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        data, off = string_bytes(b[text_col])
+        seg, pos, h = window_hashes(data, off, L)
+        if winnow > 1:
+            m = winnow_mask(h, seg, winnow)
+            seg, pos, h = seg[m], pos[m], h[m]
+        idx = np.searchsorted(c, h)
+        hit = (idx < len(c)) & (c[np.minimum(idx, len(c) - 1)] == h)
+        seg, pos, h = seg[hit], pos[hit], h[hit]
+        if len(seg) == 0:
+            return pa.table({"gram": pa.array([], type=pa.binary()),
+                             "h": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        starts = pos + off[:-1][seg]
+        grams = data[starts[:, None] + np.arange(L, dtype=np.int64)] \
+            .view(f"S{L}")[:, 0]
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"gram": pa.array(grams, type=pa.binary()),
+                         "h": pa.array(h.view(np.int64)),
+                         id_col: pa.array(ids[seg]),
+                         "pos": pa.array(pos.astype(np.int64))})
+
+    hits = ds.map_batches(extract, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash group may hold several gram values (collisions):
+        # re-split on the actual bytes and keep cross-doc grams only
+        ok = g.groupby("gram", sort=False)[id_col].transform("nunique") >= 2
+        return g.loc[ok, [id_col, "pos"]]
+
+    return hits.groupby("h").map_groups(verify, batch_format="pandas")
+
+
+def substring_dup_spans(ds, L: int = 40, winnow: int = 1,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document cross-corpus duplicated-substring summary: for every
+    doc with at least one length-``L`` byte window appearing verbatim in
+    another doc, returns (doc_id, dup_windows, dup_cover) — the count of
+    such windows and the number of distinct byte positions they cover
+    (union of [pos, pos+L) intervals).  Sorted by doc_id; exact (see
+    :func:`_substring_hits`); SQL-oracled against a DuckDB substr
+    self-join (__ray_entry__.oracle_sql()['substring_dups']).
+
+    The reference has no substring-level dedup (its only dedup is exact
+    within-group drop_duplicates, /root/reference/app/analyzers/
+    word2vec.py:240-242); this is the standard web-scale training-data
+    extension."""
+    import ray
+    import ray.data
+
+    # hit rows are candidate-bounded (dup windows only, never corpus
+    # rows): materialize once so the empty-guard count and the groupby
+    # below don't each re-run the two corpus passes in the lineage
+    hits = _substring_hits(ds, L=L, winnow=winnow,
+                           text_col=text_col, id_col=id_col).materialize()
+    if hits.count() == 0:
+        # typed empty pandas frame (Ray's to_pandas drops the schema on
+        # 0-row datasets) — same contract as search_and's empty guard
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "dup_windows": pd.Series(dtype=np.int64),
+                             "dup_cover": pd.Series(dtype=np.int64)})
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy())
+        cover = int(np.minimum(np.diff(p), L).sum()) + L
+        return pd.DataFrame({id_col: [np.int64(g[id_col].iloc[0])],
+                             "dup_windows": [np.int64(len(p))],
+                             "dup_cover": [np.int64(cover)]})
+
+    return hits.groupby(id_col).map_groups(
+        agg, batch_format="pandas").sort(id_col)

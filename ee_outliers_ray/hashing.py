@@ -287,6 +287,95 @@ def hash_any_array(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return hash_string_array(s)
 
 
+# modular inverse of _R mod 2^64 (_R is odd, so it exists); lets the
+# rolling window hash be computed as a prefix-sum difference in O(N)
+# independent of the window length
+_RINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def window_hashes(data: np.ndarray, offsets: np.ndarray, L: int
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rolling 64-bit hash of EVERY length-``L`` byte window of every
+    segment, O(N) total regardless of L (Rabin-Karp prefix-difference
+    over 2^64: q_k = sum_{j<k} d_j * Rinv^j, window sum at start s is
+    (q_{s+L} - q_s) * R^{L-1+s}).
+
+    Each value is BIT-IDENTICAL to ``hash_bytes_segments(data[s:s+L],
+    [0, L])`` — the window hash of a gram equals the whole-string hash
+    of the same bytes, so candidate hashes compare across any producer
+    (property-pinned in tests/test_substring_dups.py).
+
+    Returns ``(seg_idx, pos, hashes)``: segment index, 0-based byte
+    offset of the window START within its segment, and the hash, in
+    (segment, pos) order.  Segments shorter than L yield no windows;
+    windows never cross a segment boundary."""
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lens - L + 1, 0)
+    total = int(counts.sum())
+    seg_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = _grouped_arange(np.zeros(n, dtype=np.int64), counts)
+    if total == 0:
+        return seg_idx, pos, np.zeros(0, dtype=np.uint64)
+    starts = pos + offsets[:-1][seg_idx]
+    N = len(data)
+    with _ERR:
+        rinv = _pow_table(_RINV, N)
+        q = np.zeros(N + 1, dtype=np.uint64)
+        np.cumsum(data.astype(np.uint64) * rinv, out=q[1:])
+        rpow = _pow_table(_R, N + L)
+        sums = (q[starts + L] - q[starts]) * rpow[starts + L - 1]
+    return seg_idx, pos, mix64(sums ^ np.uint64(L))
+
+
+def winnow_mask(hashes: np.ndarray, seg_idx: np.ndarray, w: int
+                ) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS):
+    boolean mask over per-position window hashes keeping, for every run
+    of ``w`` consecutive positions inside one segment, the RIGHTMOST
+    minimal hash.  Guarantee: two segments sharing a substring of length
+    >= L + w - 1 both select at least one fingerprint with the same hash
+    (their shared run of w consecutive equal window-hashes selects the
+    same minimal VALUE in both).  w=1 selects everything.
+
+    ``hashes``/``seg_idx`` are the flat (segment, pos)-ordered outputs of
+    :func:`window_hashes`."""
+    n = len(hashes)
+    mask = np.zeros(n, dtype=bool)
+    if n == 0:
+        return mask
+    if w <= 1:
+        mask[:] = True
+        return mask
+    # segments with fewer than w positions keep their single minimum
+    # (rightmost on ties), same rule as a truncated final window
+    seg_start = np.concatenate(
+        [[0], np.flatnonzero(seg_idx[1:] != seg_idx[:-1]) + 1])
+    seg_end = np.concatenate([seg_start[1:], [n]])
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if n >= w:
+        # rightmost argmin = (w-1) - argmin over the reversed window
+        win = sliding_window_view(hashes, w)[:, ::-1]
+        sel = (np.arange(n - w + 1, dtype=np.int64)
+               + (w - 1) - win.argmin(axis=1))
+        # keep only windows fully inside one segment
+        ok = seg_idx[: n - w + 1] == seg_idx[w - 1:]
+        mask[np.unique(sel[ok])] = True
+    short = (seg_end - seg_start) < w
+    if short.any():
+        posn = np.arange(n, dtype=np.int64)
+        run = np.searchsorted(seg_start, posn, side="right") - 1
+        sp = np.flatnonzero(short[run])
+        order = np.lexsort((-posn[sp], hashes[sp], run[sp]))
+        r_ord = run[sp][order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = r_ord[1:] != r_ord[:-1]
+        mask[sp[order][first]] = True
+    return mask
+
+
 _CRC_TABLE: np.ndarray | None = None
 
 

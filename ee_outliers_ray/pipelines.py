@@ -838,6 +838,19 @@ def dedup_keep_list(sf_dir: str, threshold: float = 0.5):
     return anti_join(docs, set(drop["doc_id"].astype(np.int64)), "doc_id")
 
 
+def substring_dups(sf_dir: str, L: int = 40):
+    """Exact cross-document substring-duplicate spans (Lee et al. 2022
+    style, fixed byte-window variant): per doc, the count of length-L
+    byte windows whose contents appear verbatim in ANOTHER doc and the
+    distinct byte positions those windows cover.  Exact via
+    hash-candidate + verbatim-byte verification (dedup.substring_dup
+    _spans); winnowed fingerprints are the documented scale path."""
+    from .dedup import substring_dup_spans
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dup_spans(ds, L=L)
+
+
 def embedding_dups_exact(sf_dir: str, threshold: float = 0.45):
     """EXACT all-pairs cosine join over the embeddings table (block-pair
     matmul tasks) — the truth baseline the LSH embedding_dups path is
