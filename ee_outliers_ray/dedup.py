@@ -1128,19 +1128,28 @@ def simhash_candidates(ds, *, hamming_bands: int = 4,
 # --------------------------------------------------------------------------
 
 
+# coarse-partition fan-in for the substring-dedup shuffles: window
+# hashes are near-unique, so a Ray groupby on the RAW hash key degrades
+# into millions of tiny groups (the per-bucket map_groups pathology the
+# LSH pair kernel already solved) — every wide step below groups on
+# `hash & (_SUBSTR_PARTS-1)` instead and runs one vectorized numpy /
+# pandas-C kernel per partition
+_SUBSTR_PARTS = 256
+
+
 def _substring_candidates(ds, L: int, winnow: int,
                           text_col: str, id_col: str) -> np.ndarray:
     """Sorted uint64 array of window-hashes that occur in >= 2 distinct
-    documents.  One streaming pass + one groupby: each batch emits the
-    per-doc DISTINCT window hashes (a doc lives in exactly one row, so a
-    (hash, doc) pair is globally unique by construction and a plain
-    ``Count`` per hash == the distinct-doc count).  The count table is
-    filtered INSIDE Ray; only qualifying hashes (bounded by truly
-    repeated grams, not corpus size) reach the driver."""
-    import pyarrow.compute as _pc
-    from ray.data.aggregate import Count
-
+    documents.  One streaming pass + one coarse-partition groupby: each
+    batch emits per-doc DISTINCT window hashes pre-aggregated to
+    (hash, n_docs_in_batch) partials (a doc lives in exactly one batch,
+    so the partial counts SUM to the global distinct-doc count), and a
+    vectorized per-partition kernel keeps hashes with total >= 2.  Only
+    qualifying hashes (bounded by truly repeated grams, not corpus
+    size) reach the driver."""
     from .hashing import window_hashes, winnow_mask
+
+    P = _SUBSTR_PARTS
 
     def sig(b: pa.Table) -> pa.Table:
         data, off = string_bytes(b[text_col])
@@ -1152,14 +1161,19 @@ def _substring_candidates(ds, L: int, winnow: int,
         woff = np.zeros(len(off), dtype=np.int64)
         np.cumsum(counts, out=woff[1:])
         uh, _uoff = unique_per_segment(h, woff)
-        # int64 bit-view: this column crosses a Ray groupby
-        return pa.table({"h": pa.array(uh.view(np.int64))})
+        hh, cnt = np.unique(uh, return_counts=True)  # batch partial
+        # int64 bit-view: these columns cross a Ray groupby
+        return pa.table({"h": pa.array(hh.view(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "hp": pa.array((hh & np.uint64(P - 1))
+                                        .astype(np.int64))})
 
-    counts = ds.map_batches(sig, batch_format="pyarrow") \
-        .groupby("h").aggregate(Count(alias_name="n"))
-    cand = counts.map_batches(
-        lambda t: t.filter(_pc.greater_equal(t["n"], 2)).select(["h"]),
-        batch_format="pyarrow")
+    def qualify(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", sort=False)["n"].sum()
+        return pd.DataFrame({"h": s.index[s.ge(2)].to_numpy()})
+
+    cand = ds.map_batches(sig, batch_format="pyarrow") \
+        .groupby("hp").map_groups(qualify, batch_format="pandas")
     cand_df = cand.to_pandas()
     if cand_df.empty:  # all-empty blocks drop the schema — no candidates
         return np.zeros(0, dtype=np.uint64)
@@ -1218,19 +1232,31 @@ def _substring_hits(ds, L: int = 40, winnow: int = 1,
             .view(f"S{L}")[:, 0]
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"gram": pa.array(grams, type=pa.binary()),
-                         "h": pa.array(h.view(np.int64)),
+                         "hp": pa.array((h & np.uint64(_SUBSTR_PARTS - 1))
+                                        .astype(np.int64)),
                          id_col: pa.array(ids[seg]),
                          "pos": pa.array(pos.astype(np.int64))})
 
     hits = ds.map_batches(extract, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # one hash group may hold several gram values (collisions):
-        # re-split on the actual bytes and keep cross-doc grams only
-        ok = g.groupby("gram", sort=False)[id_col].transform("nunique") >= 2
+        # one coarse partition holds many grams (and any hash-collision
+        # splits): factorize the actual bytes once, then a run-length
+        # distinct-doc count per gram code — all C-speed
+        if g.empty:
+            return g[[id_col, "pos"]]
+        code, _ = pd.factorize(g["gram"], sort=False)
+        doc = g[id_col].to_numpy()
+        order = np.lexsort((doc, code))
+        gc, dc = code[order], doc[order]
+        new = np.empty(len(gc), dtype=bool)
+        new[0] = True
+        new[1:] = (gc[1:] != gc[:-1]) | (dc[1:] != dc[:-1])
+        ndocs = np.bincount(gc[new], minlength=int(gc.max()) + 1)
+        ok = ndocs[code] >= 2
         return g.loc[ok, [id_col, "pos"]]
 
-    return hits.groupby("h").map_groups(verify, batch_format="pandas")
+    return hits.groupby("hp").map_groups(verify, batch_format="pandas")
 
 
 def substring_dup_spans(ds, L: int = 40, winnow: int = 1,
@@ -1262,12 +1288,38 @@ def substring_dup_spans(ds, L: int = 40, winnow: int = 1,
                              "dup_windows": pd.Series(dtype=np.int64),
                              "dup_cover": pd.Series(dtype=np.int64)})
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        p = np.sort(g["pos"].to_numpy())
-        cover = int(np.minimum(np.diff(p), L).sum()) + L
-        return pd.DataFrame({id_col: [np.int64(g[id_col].iloc[0])],
-                             "dup_windows": [np.int64(len(p))],
-                             "dup_cover": [np.int64(cover)]})
+    def add_part(b: pa.Table) -> pa.Table:
+        dp = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            % _SUBSTR_PARTS
+        return b.append_column("dp", pa.array(dp))
 
-    return hits.groupby(id_col).map_groups(
-        agg, batch_format="pandas").sort(id_col)
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse partition holds many docs: sort once by (doc, pos),
+        # then run-length window counts + interval-union coverage
+        # (sum of min(gap, L) within each doc run, + L) — all vectorized
+        if g.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "dup_windows": pd.Series(dtype=np.int64),
+                                 "dup_cover": pd.Series(dtype=np.int64)})
+        doc = g[id_col].to_numpy()
+        posv = g["pos"].to_numpy()
+        order = np.lexsort((posv, doc))
+        d, p = doc[order], posv[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        gaps = np.minimum(np.diff(p), L) if len(p) > 1 \
+            else np.zeros(0, dtype=np.int64)
+        if len(gaps):
+            gaps[new[1:]] = 0  # don't bridge doc boundaries
+        cum = np.concatenate([[0], np.cumsum(gaps)])
+        cover = cum[ends - 1] - cum[starts] + L
+        return pd.DataFrame({id_col: d[starts],
+                             "dup_windows": (ends - starts).astype(np.int64),
+                             "dup_cover": cover.astype(np.int64)})
+
+    return hits.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("dp").map_groups(agg, batch_format="pandas") \
+        .sort(id_col)
