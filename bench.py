@@ -198,6 +198,18 @@ def pipeline_timings() -> dict:
 
         names.append("dedup_minhash_distributed")
         fns["dedup_minhash_distributed"] = _minhash_distributed
+    # GRAFT_BENCH_SUBSTRING=1 also times the exact substring-duplicate
+    # span operator (w=1) and its winnowed scale path (w=8)
+    if os.environ.get("GRAFT_BENCH_SUBSTRING", "0") == "1":
+        from ee_outliers_ray.dedup import substring_dup_spans
+
+        def _substr_winnowed(sf):
+            ds = P.read(sf, "documents", columns=["doc_id", "text"])
+            return substring_dup_spans(ds, L=40, winnow=8)
+
+        names += ["substring_dups", "substring_dups_winnowed"]
+        fns["substring_dups"] = P.substring_dups
+        fns["substring_dups_winnowed"] = _substr_winnowed
 
     import ray.data
 
