@@ -82,6 +82,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     anti-join over dedup_clusters' output, both driver-green r4 and
     pytest-parity-checked) holds the tail slot that freed.
 
+    Late-r5 swap: substring_dups (NEW operator this round, SQL-oracled)
+    moved into the window at the end of its semantic group (dedup), per
+    the same changed-code-stays-externally-checked rule; the slot came
+    from time_window_counts (unchanged since r1, driver-green r1-r4,
+    trivial Arrow range count, oracle-parity-checked every pytest
+    session), which moved to the trivial-counts tail group.  That is the
+    ONLY post-freeze move.
+
     Late-r5 note: embedding_dups' DISTRIBUTED candidate path (engaged only
     above max_driver_candidate_rows=2M, i.e. never at driver scale) was
     rewritten after the freeze; the ordering stays frozen rather than
@@ -126,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / query-language (Q2-Q6, S4/A8, joins, sorts) ---
         "pricing_summary": P.pricing_summary,
         "segment_revenue": P.segment_revenue,
-        "time_window_counts": P.time_window_counts,
         "first_occurrence": P.first_occurrence,
         "range_filter": P.range_filter,
         "dsl_filter": P.dsl_filter,
@@ -150,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": P.dedup_ngram,
         "dedup_simhash": P.dedup_simhash,
         "dedup_clusters": P.dedup_clusters,
+        # NEW r5 operator (exact substring-duplicate spans), SQL-oracled;
+        # in-window per the changed-code-stays-externally-checked rule —
+        # also pinned to exhaustive truth in tests/test_substring_dups.py
+        "substring_dups": P.substring_dups,
         # --- multimodal (rows-only; decoders changed in r5 -> window) ---
         "media_features": P.media_features,
         # ---- tail (see docstring): redundant-by-contract gates ----
@@ -159,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_parts": P.bm25_topk_parts,
         "bm25_topk_sharded": P.bm25_topk_sharded,
         # ---- tail: trivial counts / filters ----
+        # (time_window_counts moved here in the late-r5 swap — unchanged
+        # since r1, driver-green r1-r4, oracle-parity-checked every
+        # pytest session)
+        "time_window_counts": P.time_window_counts,
         "count_events": P.count_events,
         "latest_events": P.latest_events,
         "exists_counts": P.exists_counts,
@@ -167,12 +182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: no_oracle (iterative / approximate) ----
         "word2vec_outliers": P.word2vec_outliers,
         "embedding_dups": P.embedding_dups,
-        # ---- appended after the r5 freeze (append-only per the frozen
-        # ordering: nothing above moves, nothing leaves the window).
-        # NEW operator, driver-visible here and oracle-parity-checked
-        # every pytest session (tests/test_oracle_parity.py) plus pinned
-        # to exhaustive truth in tests/test_substring_dups.py ----
-        "substring_dups": P.substring_dups,
     }
 
 
