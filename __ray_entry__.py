@@ -182,6 +182,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- tail: no_oracle (iterative / approximate) ----
         "word2vec_outliers": P.word2vec_outliers,
         "embedding_dups": P.embedding_dups,
+        # ---- tail: post-freeze r5 additions ----
+        # NEW late-r5 operator, appended at the very tail so the frozen
+        # 50-entry window is untouched (inserting in the text-analysis
+        # group would push media_features — changed this round — out of
+        # the externally checked window).  SQL-oracled and parity-checked
+        # every pytest session like every other tail oracle.
+        "repetition_scores": P.repetition,
     }
 
 
@@ -732,6 +739,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT doc_id, count(*) AS dup_cover
                   FROM cov GROUP BY doc_id) c USING (doc_id)
             ORDER BY doc_id""",
+        # Gopher-style repetition fractions: token multiplicities via
+        # GROUP BY, bigrams via zipped unnest of the two shifted list
+        # slices (DuckDB aligns multiple unnests in one SELECT).  Docs
+        # with no tokens score 0.0 everywhere; single-token docs have no
+        # bigrams (0.0) — mirrored by the engine kernel's masks.
+        "repetition_scores": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tc AS (SELECT doc_id, term, count(*) AS c
+                   FROM u GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                           max(c) AS top_c
+                    FROM tc GROUP BY doc_id),
+            bgl AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS t1,
+                           unnest(toks[2:len(toks)]) AS t2
+                    FROM t WHERE len(toks) >= 2),
+            bc AS (SELECT doc_id, t1, t2, count(*) AS c
+                   FROM bgl GROUP BY doc_id, t1, t2),
+            bagg AS (SELECT doc_id, max(c) AS top_bc FROM bc GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CASE WHEN coalesce(agg.n, 0) > 0 THEN
+                     round((agg.n - agg.nd)::DOUBLE / agg.n, 6)
+                   ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN coalesce(agg.n, 0) > 0 THEN
+                     round(agg.top_c::DOUBLE / agg.n, 6)
+                   ELSE 0.0 END AS top_token_frac,
+                   CASE WHEN coalesce(agg.n, 0) >= 2 THEN
+                     round(coalesce(bagg.top_bc, 0)::DOUBLE / (agg.n - 1), 6)
+                   ELSE 0.0 END AS top_bigram_frac
+            FROM t
+            LEFT JOIN agg ON t.doc_id = agg.doc_id
+            LEFT JOIN bagg ON t.doc_id = bagg.doc_id""",
         # no oracle (approximate / iterative / stubbed — justified):
         # embedding_dups, word2vec_outliers, media_features
     }

@@ -929,6 +929,16 @@ def quality(sf_dir: str):
     return quality_scores(read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def repetition(sf_dir: str):
+    """Gopher-style repetition scores (dup-token / top-token / top-bigram
+    fractions) over documents — the repetition-filter half of the quality
+    pipeline (Rae et al. 2021 App. A)."""
+    from .textstats import repetition_scores
+
+    return repetition_scores(read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
 def langid_documents(sf_dir: str):
     from .textstats import langid
 

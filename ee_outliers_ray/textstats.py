@@ -142,6 +142,89 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _per_doc_run_stats(doc: np.ndarray, ndoc: int, *keys: np.ndarray):
+    """Per-document group stats over parallel label arrays: returns
+    ``(n_distinct, top_count)`` — the number of distinct key tuples per
+    doc and the multiplicity of the most frequent tuple per doc.
+
+    Exact (integer dictionary codes, not hashes): one lexsort groups
+    equal tuples adjacently within each doc, then a run-length pass +
+    ``bincount`` / ``maximum.reduceat`` produce both stats — no per-row
+    Python, no collision risk."""
+    n = len(doc)
+    n_distinct = np.zeros(ndoc, dtype=np.int64)
+    top = np.zeros(ndoc, dtype=np.int64)
+    if n == 0:
+        return n_distinct, top
+    order = np.lexsort(tuple(reversed(keys)) + (doc,))
+    d = doc[order]
+    diff = d[1:] != d[:-1]
+    for k in keys:
+        ks = k[order]
+        diff |= ks[1:] != ks[:-1]
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = diff
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.append(run_starts, n))
+    run_doc = d[run_starts]
+    n_distinct = np.bincount(run_doc, minlength=ndoc).astype(np.int64)
+    doc_change = np.empty(len(run_doc), dtype=bool)
+    doc_change[0] = True
+    doc_change[1:] = run_doc[1:] != run_doc[:-1]
+    doc_starts = np.flatnonzero(doc_change)
+    top[run_doc[doc_starts]] = np.maximum.reduceat(run_lens, doc_starts)
+    return n_distinct, top
+
+
+def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                      round_to: int = 6):
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A repetition filters):
+
+      dup_token_frac  — fraction of tokens that repeat an already-seen
+                        token: ``(n_tokens - n_distinct) / n_tokens``
+      top_token_frac  — occurrences of the most frequent token
+                        / ``n_tokens``
+      top_bigram_frac — occurrences of the most frequent bigram
+                        / ``(n_tokens - 1)`` bigrams
+
+    Exact and fully vectorized: tokens are dictionary-encoded to integer
+    codes (pyarrow, collision-free), unigram and bigram multiplicities
+    come from one lexsort + run-length pass each (``_per_doc_run_stats``);
+    bigrams are adjacent code pairs masked to stay within a document.
+    Zero-token docs score 0.0 everywhere; one-token docs have no bigrams
+    (0.0).  Shuffle-free: per-batch map only."""
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        ndoc = len(offsets) - 1
+        enc = toks.flatten().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
+        n_distinct, top_tok = _per_doc_run_stats(doc_idx, ndoc, codes)
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        bd = doc_idx[:-1][same_doc]
+        _, top_big = _per_doc_run_stats(
+            bd, ndoc, codes[:-1][same_doc], codes[1:][same_doc])
+        n_big = np.maximum(counts - 1, 0)
+        nz = counts > 0
+        dup_frac = np.where(
+            nz, (counts - n_distinct) / np.maximum(counts, 1), 0.0)
+        top_frac = np.where(nz, top_tok / np.maximum(counts, 1), 0.0)
+        big_frac = np.where(n_big > 0, top_big / np.maximum(n_big, 1), 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "dup_token_frac": pa.array(duck_round(dup_frac, round_to)),
+            "top_token_frac": pa.array(duck_round(top_frac, round_to)),
+            "top_bigram_frac": pa.array(duck_round(big_frac, round_to)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Sequence packing for LLM training: assign docs to fixed-token-

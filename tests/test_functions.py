@@ -193,6 +193,40 @@ def test_pack_sequences_semantics():
     assert out1["pack_id"].tolist()[:4] == [0, 0, 1, 2]
 
 
+def test_repetition_scores_semantics():
+    """Gopher-style repetition fractions on hand-computed docs, incl.
+    the edge cases the kernel masks (empty text, single token, all-
+    repeat doc)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.textstats import repetition_scores
+
+    docs = {
+        0: "the cat sat on the mat",  # n=6 nd=5 top=2; 5 distinct bigrams
+        1: "go go go go",             # n=4 nd=1 top=4; bigram (go,go)x3
+        2: "",                        # no tokens -> all 0.0
+        3: "hello",                   # one token -> no bigrams
+        4: "a b a b a",               # n=5 nd=2 top=3; top bigram 2/4
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), type=pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+    out = repetition_scores(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = {
+        0: (round(1 / 6, 6), round(2 / 6, 6), 0.2),
+        1: (0.75, 1.0, 1.0),
+        2: (0.0, 0.0, 0.0),
+        3: (0.0, 1.0, 0.0),
+        4: (0.6, 0.6, 0.5),
+    }
+    for _, r in out.iterrows():
+        d, t, b = want[int(r["doc_id"])]
+        assert r["dup_token_frac"] == pytest.approx(d, abs=1e-9)
+        assert r["top_token_frac"] == pytest.approx(t, abs=1e-9)
+        assert r["top_bigram_frac"] == pytest.approx(b, abs=1e-9)
+
+
 def test_hash_split_fractions_and_determinism():
     import numpy as np
 
