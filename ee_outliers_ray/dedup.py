@@ -1223,8 +1223,11 @@ def _substring_hits(ds, L: int = 40, winnow: int = 1,
         hit = (idx < len(c)) & (c[np.minimum(idx, len(c) - 1)] == h)
         seg, pos, h = seg[hit], pos[hit], h[hit]
         if len(seg) == 0:
+            # column names/order MUST match the non-empty path below —
+            # a mismatched empty block forces Ray's shuffle to unify
+            # two different schemas (warning at sf0.01, error at scale)
             return pa.table({"gram": pa.array([], type=pa.binary()),
-                             "h": pa.array([], type=pa.int64()),
+                             "hp": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=pa.int64()),
                              "pos": pa.array([], type=pa.int64())})
         starts = pos + off[:-1][seg]
