@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the externally checked window).  SQL-oracled and parity-checked
         # every pytest session like every other tail oracle.
         "repetition_scores": P.repetition,
+        # Fused Gopher quality FILTER (one tokenize pass -> signals +
+        # keep decision) — same post-freeze append-only placement.
+        "gopher_filter": P.gopher_quality_filter,
     }
 
 
@@ -771,6 +774,40 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN agg ON t.doc_id = agg.doc_id
             LEFT JOIN bagg ON t.doc_id = bagg.doc_id""",
+        # Fused Gopher quality filter: the same token-multiplicity CTEs
+        # as repetition_scores plus the stopword count, rounded to 6 dp
+        # BEFORE the threshold gates (both sides gate on the rounded
+        # value, so the keep decision is bit-reproducible).
+        "gopher_filter": f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            tc AS (SELECT doc_id, term, count(*) AS c
+                   FROM u GROUP BY doc_id, term),
+            agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                           max(c) AS top_c,
+                           coalesce(sum(c) FILTER (
+                             list_contains({stop_list}, term)), 0)
+                             AS n_stop
+                    FROM tc GROUP BY doc_id),
+            sig AS (SELECT t.doc_id,
+                      coalesce(agg.n, 0)::BIGINT AS n_tokens,
+                      CASE WHEN coalesce(agg.n, 0) > 0 THEN
+                        round((agg.n - agg.nd)::DOUBLE / agg.n, 6)
+                      ELSE 0.0 END AS dup_token_frac,
+                      CASE WHEN coalesce(agg.n, 0) > 0 THEN
+                        round(agg.top_c::DOUBLE / agg.n, 6)
+                      ELSE 0.0 END AS top_token_frac,
+                      CASE WHEN coalesce(agg.n, 0) > 0 THEN
+                        round(agg.n_stop::DOUBLE / agg.n, 6)
+                      ELSE 0.0 END AS stopword_ratio
+                    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id)
+            SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+                   stopword_ratio,
+                   CASE WHEN n_tokens >= 20 AND dup_token_frac <= 0.6
+                             AND top_token_frac <= 0.12
+                             AND stopword_ratio >= 0.01
+                        THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM sig""",
         # no oracle (approximate / iterative / stubbed — justified):
         # embedding_dups, word2vec_outliers, media_features
     }

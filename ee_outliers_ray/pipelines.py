@@ -939,6 +939,17 @@ def repetition(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def gopher_quality_filter(sf_dir: str):
+    """Fused Gopher-style quality filter over documents: one tokenize
+    pass emits the gate signals + keep decision (textstats.gopher_filter
+    — the filtering composition the repetition/quality signals exist
+    for)."""
+    from .textstats import gopher_filter
+
+    return gopher_filter(read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
 def langid_documents(sf_dir: str):
     from .textstats import langid
 

@@ -225,6 +225,62 @@ def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def gopher_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+                  *, min_tokens: int = 20, max_dup_frac: float = 0.6,
+                  max_top_frac: float = 0.12, min_stop_ratio: float = 0.01,
+                  round_to: int = 6):
+    """Fused Gopher-style quality FILTER (Rae et al. 2021 App. A): one
+    tokenize pass emits the four gate signals and the keep decision —
+    keep iff ``n_tokens >= min_tokens`` AND ``dup_token_frac <=
+    max_dup_frac`` AND ``top_token_frac <= max_top_frac`` AND
+    ``stopword_ratio >= min_stop_ratio``.
+
+    Thresholds are gates on the ROUNDED signals (duck_round, 6 dp) so
+    the decision is bit-reproducible against the SQL oracle — a raw
+    float at the boundary can round across it.  Defaults are adapted to
+    the test corpus (10-99-token docs) from Gopher's web-scale values;
+    they are parameters, not constants.  Shuffle-free single pass:
+    tokens dictionary-encode once, multiplicities via
+    ``_per_doc_run_stats``, stopword hits via one ``pc.is_in``.
+    Output: (doc_id, n_tokens, dup_token_frac, top_token_frac,
+    stopword_ratio, keep[int64 0/1])."""
+    stop_set = pa.array(sorted(_STOP_EN))
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        ndoc = len(offsets) - 1
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), counts)
+        n_distinct, top_tok = _per_doc_run_stats(doc_idx, ndoc, codes)
+        flat_stop = pc.is_in(flat, value_set=stop_set) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sums_stop = _per_doc_sums(flat_stop, offsets)
+        nz = counts > 0
+        denom = np.maximum(counts, 1)
+        dup_frac = duck_round(
+            np.where(nz, (counts - n_distinct) / denom, 0.0), round_to)
+        top_frac = duck_round(np.where(nz, top_tok / denom, 0.0), round_to)
+        stop_ratio = duck_round(np.where(nz, sums_stop / denom, 0.0),
+                                round_to)
+        keep = ((counts >= min_tokens) & (dup_frac <= max_dup_frac)
+                & (top_frac <= max_top_frac)
+                & (stop_ratio >= min_stop_ratio)).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(counts),
+            "dup_token_frac": pa.array(dup_frac),
+            "top_token_frac": pa.array(top_frac),
+            "stopword_ratio": pa.array(stop_ratio),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Sequence packing for LLM training: assign docs to fixed-token-

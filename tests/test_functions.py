@@ -227,6 +227,29 @@ def test_repetition_scores_semantics():
         assert r["top_bigram_frac"] == pytest.approx(b, abs=1e-9)
 
 
+def test_gopher_filter_gates():
+    """Each gate of the fused quality filter drops exactly the doc
+    built to violate it; the clean doc passes."""
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.textstats import gopher_filter
+
+    uniq = " ".join(f"w{i}" for i in range(24))
+    docs = [
+        "too short",                      # n=2 < 20
+        " ".join(["go"] * 30),            # dup 29/30 > 0.6, top 1.0
+        uniq + " the",                    # 25 tokens, all gates pass
+        uniq + " w24",                    # no stopword -> ratio 0 < 0.01
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = gopher_filter(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["keep"].tolist() == [0, 0, 1, 0]
+    assert out["n_tokens"].tolist() == [2, 30, 25, 25]
+
+
 def test_hash_split_fractions_and_determinism():
     import numpy as np
 
