@@ -102,8 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     is pinned instead by a forced-branch pytest (distributed path ==
     driver path exactly) and the 1M-doc recall datum in BASELINE.md.
 
-    Post-freeze additions (repetition_scores, gopher_filter — both NEW
-    operators, both SQL-oracled) are APPENDED at the very tail rather
+    Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
+    decontaminate — all NEW
+    operators, all SQL-oracled) are APPENDED at the very tail rather
     than inserted in the text-analysis group: the window is exactly 50
     entries, so an in-group insert would push media_features (changed
     this round) out of external checking.  New code that displaces
@@ -201,6 +202,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Fused Gopher quality FILTER (one tokenize pass -> signals +
         # keep decision) — same post-freeze append-only placement.
         "gopher_filter": P.gopher_quality_filter,
+        # PII detection + redaction (RE2 count/replace kernels; the
+        # entry plants synthetic PII deterministically from doc_id,
+        # mirrored exactly by the SQL oracle) — post-freeze append.
+        "pii_scrub": P.pii_scrub_docs,
+        # Benchmark decontamination (broadcast n-gram hash set, rolling
+        # shingle-hash membership per window) — post-freeze append.
+        "decontaminate": P.decontaminate_docs,
     }
 
 
@@ -298,8 +306,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5"""
+    # PII oracle: the patterns are interpolated from textstats.PII_PATTERNS
+    # verbatim (both engines run RE2) and the redaction nest preserves the
+    # tuple's sequential order; the synthetic-PII augmentation mirrors
+    # pipelines.pii_scrub_docs.aug arithmetically.
+    from ee_outliers_ray.textstats import PII_PATTERNS as _PII
+    pii_aug = """
+              text
+              || CASE WHEN doc_id % 7 = 0 THEN
+                   ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+              || CASE WHEN doc_id % 11 = 0 THEN
+                   ' src 10.' || (doc_id % 256) || '.0.'
+                   || ((doc_id * 7) % 256) || ' end'
+                 ELSE '' END
+              || CASE WHEN doc_id % 13 = 0 THEN
+                   ' call 555-' || (100 + doc_id % 900) || '-'
+                   || (1000 + (doc_id * 3) % 9000) || ' now'
+                 ELSE '' END"""
+    pii_counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for name, _tag, pat in _PII)
+    pii_red = "text"
+    for _name, tag, pat in _PII:
+        pii_red = f"regexp_replace({pii_red}, '{pat}', '{tag}', 'g')"
+    pii_sql = f"""
+            WITH aug AS (SELECT doc_id, {pii_aug} AS text FROM documents)
+            SELECT doc_id,
+                   {pii_counts},
+                   {pii_red} AS redacted
+            FROM aug"""
+    n, mod = P.DECON_N, P.DECON_MOD
+    decon_sql = f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            bench AS (SELECT DISTINCT array_to_string(toks[1:{n}], ' ') AS g
+                      FROM t WHERE doc_id % {mod} = 0 AND len(toks) >= {n}),
+            win AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks) - {n - 2})) AS i
+                    FROM t WHERE len(toks) >= {n}),
+            grams AS (SELECT DISTINCT doc_id,
+                             array_to_string(toks[i:i+{n - 1}], ' ') AS g
+                      FROM win),
+            hits AS (SELECT gr.doc_id, count(*) AS nh
+                     FROM grams gr JOIN bench b ON gr.g = b.g GROUP BY 1)
+            SELECT t.doc_id, coalesce(h.nh, 0)::BIGINT AS n_bench_hits,
+                   (coalesce(h.nh, 0) > 0)::BIGINT AS contaminated
+            FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
     return {
         "dedup_ngram": jaccard_sql,
+        "pii_scrub": pii_sql,
+        "decontaminate": decon_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""

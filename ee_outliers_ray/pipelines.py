@@ -950,6 +950,77 @@ def gopher_quality_filter(sf_dir: str):
                               columns=["doc_id", "text"]))
 
 
+def pii_scrub_docs(sf_dir: str):
+    """PII detection + redaction over documents (textstats.pii_scrub).
+    The testdata corpus carries no natural PII, so this entry plants
+    synthetic emails / IPv4s / phone numbers deterministically from
+    doc_id — the SQL oracle builds the IDENTICAL augmented text — and
+    the generic operator counts + redacts them.  The augmentation is
+    test-input synthesis local to this entry; the operator itself is the
+    corpus-scale stage."""
+    from .textstats import pii_scrub
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.asarray(b["text"].to_pandas(), dtype=np.str_)
+        ids_s = ids.astype(np.str_)
+        em = np.char.add(np.char.add(" contact user", ids_s),
+                         "@example.com now")
+        ip = np.char.add(np.char.add(np.char.add(np.char.add(
+            " src 10.", (ids % 256).astype(np.str_)), ".0."),
+            ((ids * 7) % 256).astype(np.str_)), " end")
+        ph = np.char.add(np.char.add(np.char.add(
+            " call 555-", (100 + ids % 900).astype(np.str_)), "-"),
+            np.char.add((1000 + (ids * 3) % 9000).astype(np.str_), " now"))
+        out = np.char.add(
+            np.char.add(np.char.add(txt, np.where(ids % 7 == 0, em, "")),
+                        np.where(ids % 11 == 0, ip, "")),
+            np.where(ids % 13 == 0, ph, ""))
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out.tolist(), type=pa.string())})
+
+    return pii_scrub(ds.map_batches(aug, batch_format="pyarrow"))
+
+
+# decontamination bench-set parameters, shared with the SQL oracle
+DECON_N = 6
+DECON_MOD = 89
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination over documents.  The benchmark set is
+    derived deterministically from the corpus itself (the first DECON_N
+    tokens of every ``doc_id % DECON_MOD == 0`` document with at least
+    DECON_N tokens) so the gate is self-contained and SQL-oracle-able;
+    in production the set is an external fixed-size artifact (all
+    n-grams of the eval benchmarks), tiny relative to the corpus —
+    hence the broadcast design in textstats.decontaminate.  The bench
+    derivation collects ~corpus/DECON_MOD short strings to the driver:
+    bounded by construction here, and absent entirely in the external-
+    artifact production shape."""
+    from .textstats import decontaminate
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_extract(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pa.array(ids % DECON_MOD == 0)
+        sub = b.filter(keep)
+        toks = tokenize_column(sub["text"])
+        nlen = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grams = pc.binary_join(
+            pc.list_slice(toks, 0, DECON_N), " ")
+        t = pa.table({"ngram": grams}).filter(pa.array(nlen >= DECON_N))
+        return t
+
+    bench = [r["ngram"] for r in
+             ds.map_batches(bench_extract, batch_format="pyarrow")
+             .take_all()]
+    return decontaminate(ds, bench, n=DECON_N)
+
+
 def langid_documents(sf_dir: str):
     from .textstats import langid
 

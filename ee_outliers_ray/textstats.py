@@ -281,6 +281,113 @@ def gopher_filter(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# PII patterns (RE2 syntax; the IDENTICAL strings are interpolated into
+# the SQL oracle — pyarrow.compute and DuckDB both run RE2, so counts and
+# replacements match byte-for-byte).  Tuple order IS the redaction order
+# (EMAIL -> IPV4 -> PHONE on both sides): an earlier replacement can
+# consume text a later pattern would have matched, so order is part of
+# the contract.  Counts are measured on the ORIGINAL text; redaction is
+# the sequential rewrite.
+PII_PATTERNS = (
+    ("n_emails", "<EMAIL>",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("n_ipv4", "<IP>",
+     r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("n_phones", "<PHONE>",
+     r"\b\d{3}-\d{3}-\d{4}\b"),
+)
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII detection + redaction over a text column (the C4/RefinedWeb
+    'clean before train' stage): per-doc match counts for email / IPv4 /
+    phone patterns plus the redacted text with each match replaced by
+    its tag.  Everything is RE2 kernels (``pc.count_substring_regex`` /
+    ``pc.replace_substring_regex``) — no Python regex, no per-row loop;
+    shuffle-free map, so the 100-TB cost is the corpus scan.
+    Output: (doc_id, n_emails, n_ipv4, n_phones, redacted)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        text = pc.cast(b[text_col], pa.string())
+        cols: dict = {id_col: b[id_col]}
+        red = text
+        for name, tag, pat in PII_PATTERNS:
+            cols[name] = pc.cast(pc.count_substring_regex(text, pat),
+                                 pa.int64())
+            red = pc.replace_substring_regex(red, pat, tag)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def decontaminate(ds, bench_ngrams, *, n: int = 6,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Benchmark decontamination: flag documents containing any of the
+    benchmark token n-grams (GPT-3 App. C / Llama-style eval-overlap
+    removal).  ``bench_ngrams`` is the SMALL side — an iterable of
+    space-joined lowercase token n-grams (each exactly ``n`` tokens of
+    the engine tokenizer's ``[a-z0-9]+`` alphabet) — hashed ONCE on the
+    driver and shipped in the task closure (broadcast, never a shuffle
+    join); the corpus streams through one map.
+
+    Matching is exact token-sequence equality via the shared k-gram
+    rolling hash (``hashing.shingle_hashes``: windows never cross a
+    document boundary; a doc with < n tokens cannot match — its single
+    short-doc shingle uses the length-xor'd ``combine_sequences``
+    formula, disjoint from the k-gram formula).  Membership is one
+    ``searchsorted`` against the sorted benchmark hashes per batch.
+
+    Output: (doc_id, n_bench_hits = #DISTINCT benchmark n-grams present,
+    contaminated 0/1)."""
+    from .hashing import shingle_hashes
+
+    bench = sorted({str(g) for g in bench_ngrams})
+    btoks = [g.split(" ") for g in bench]
+    bad = [g for g, t in zip(bench, btoks) if len(t) != n]
+    if bad:
+        raise ValueError(f"bench n-grams must have exactly {n} tokens: "
+                         f"{bad[:3]}")
+    if bench:
+        flat = pa.array([t for ts in btoks for t in ts], type=pa.string())
+        boff = np.zeros(len(bench) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in btoks], out=boff[1:])
+        bh, _ = shingle_hashes(hash_string_array(flat), boff, n)
+        bench_sorted = np.unique(bh)  # unique: searchsorted -> one slot
+    else:
+        bench_sorted = np.zeros(0, dtype=np.uint64)
+    nb = len(bench_sorted)
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndoc = len(off) - 1
+        nhits = np.zeros(ndoc, dtype=np.int64)
+        if nb and ndoc:
+            th = hash_string_array(toks.flatten())
+            sh, soff = shingle_hashes(th, off, n)
+            lens = soff[1:] - soff[:-1]
+            doc_idx = np.repeat(np.arange(ndoc, dtype=np.int64), lens)
+            # mask short docs' whole-doc shingles (different formula —
+            # can't match anyway; the mask makes that explicit)
+            full = np.repeat((off[1:] - off[:-1]) >= n, lens)
+            if len(sh):
+                idx = np.minimum(np.searchsorted(bench_sorted, sh), nb - 1)
+                hit = (bench_sorted[idx] == sh) & full
+                if hit.any():
+                    pairs = np.unique(
+                        doc_idx[hit] * np.int64(nb) + idx[hit])
+                    nhits = np.bincount(pairs // nb, minlength=ndoc) \
+                        .astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_bench_hits": pa.array(nhits),
+            "contaminated": pa.array((nhits > 0).astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Sequence packing for LLM training: assign docs to fixed-token-

@@ -250,6 +250,71 @@ def test_gopher_filter_gates():
     assert out["n_tokens"].tolist() == [2, 30, 25, 25]
 
 
+def test_pii_scrub_semantics():
+    """Counts are measured on the ORIGINAL text; redaction is the
+    sequential EMAIL -> IP -> PHONE rewrite, so an IPv4 swallowed by an
+    earlier email replacement still counts but is not tagged."""
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.textstats import pii_scrub
+
+    docs = [
+        "mail a@b.co or 1.2.3.4 call 555-123-4567",
+        # the email pattern consumes the dotted-quad domain first: the
+        # IPv4 count (on original text) is 1, but no <IP> tag survives
+        "ping x@1.2.3.4.com now",
+        "no pii here at all",
+        "two mails a@b.co c@d.org and 10.0.0.1",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(docs)})
+    out = pii_scrub(ray.data.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [1, 1, 0, 2]
+    assert out["n_ipv4"].tolist() == [1, 1, 0, 1]
+    assert out["n_phones"].tolist() == [1, 0, 0, 0]
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> or <IP> call <PHONE>",
+        "ping <EMAIL> now",
+        "no pii here at all",
+        "two mails <EMAIL> <EMAIL> and <IP>",
+    ]
+
+
+def test_decontaminate_semantics():
+    """Window matching is exact token-sequence containment; hits count
+    DISTINCT benchmark n-grams; short docs and empty bench are safe."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ee_outliers_ray.textstats import decontaminate
+
+    g1 = "a b c"
+    g2 = "c d e"
+    docs = [
+        "x a b c d e y",     # contains g1 (pos 2) and g2 (pos 4) -> 2
+        "a b c a b c",       # g1 twice -> still 1 distinct hit
+        "a b",               # shorter than n -> cannot match
+        "b c a",             # tokens present, sequence absent -> 0
+        "",                  # empty
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl)
+    out = decontaminate(ds, [g1, g2], n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_bench_hits"].tolist() == [2, 1, 0, 0, 0]
+    assert out["contaminated"].tolist() == [1, 1, 0, 0, 0]
+
+    empty = decontaminate(ds, [], n=3).to_pandas()
+    assert empty["n_bench_hits"].sum() == 0
+
+    with pytest.raises(ValueError, match="exactly 3 tokens"):
+        decontaminate(ds, ["a b"], n=3)
+
+
 def test_hash_split_fractions_and_determinism():
     import numpy as np
 
