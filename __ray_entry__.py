@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver path exactly) and the 1M-doc recall datum in BASELINE.md.
 
     Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
-    decontaminate — all NEW
+    decontaminate, lm_perplexity — all NEW
     operators, all SQL-oracled) are APPENDED at the very tail rather
     than inserted in the text-analysis group: the window is exactly 50
     entries, so an in-group insert would push media_features (changed
@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Benchmark decontamination (broadcast n-gram hash set, rolling
         # shingle-hash membership per window) — post-freeze append.
         "decontaminate": P.decontaminate_docs,
+        # CCNet-style bigram-LM perplexity scoring (partial-aggregated
+        # counts -> broadcast model -> searchsorted lookups) —
+        # post-freeze append.
+        "lm_perplexity": P.lm_perplexity_docs,
     }
 
 
@@ -352,10 +356,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, coalesce(h.nh, 0)::BIGINT AS n_bench_hits,
                    (coalesce(h.nh, 0) > 0)::BIGINT AS contaminated
             FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id"""
+    # bigram-LM nll: 0.1::DOUBLE forces float64 math (a bare 0.1 literal
+    # is DECIMAL in DuckDB and would round the intermediates differently
+    # from the numpy kernel); operator precedence c + a*V matches the
+    # kernel's cv + alpha * n_vocab exactly.
+    lm_sql = f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            uc AS (SELECT term, count(*) AS c
+                   FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+            vs AS (SELECT count(*) AS v FROM uc),
+            bg AS (SELECT doc_id, toks[i] AS v, toks[i+1] AS w
+                   FROM (SELECT doc_id, toks,
+                                unnest(range(1, len(toks))) AS i
+                         FROM t WHERE len(toks) >= 2)),
+            bc AS (SELECT v, w, count(*) AS c FROM bg GROUP BY 1, 2),
+            lp AS (SELECT bg.doc_id,
+                          ln((bc.c + 0.1::DOUBLE)
+                             / (uc.c + 0.1::DOUBLE * vs.v)) AS l
+                   FROM bg JOIN bc USING (v, w)
+                   JOIN uc ON uc.term = bg.v CROSS JOIN vs),
+            agg AS (SELECT doc_id, sum(l) AS s, count(*) AS nb
+                    FROM lp GROUP BY 1)
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   round(coalesce(-agg.s / agg.nb, 0.0), 6) AS bigram_nll
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
     return {
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
         "decontaminate": decon_sql,
+        "lm_perplexity": lm_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""

@@ -1021,6 +1021,17 @@ def decontaminate_docs(sf_dir: str):
     return decontaminate(ds, bench, n=DECON_N)
 
 
+def lm_perplexity_docs(sf_dir: str):
+    """CCNet-style bigram-LM quality scores over documents
+    (textstats.lm_perplexity; corpus-trained add-0.1 model so the gate
+    is self-contained — see the operator docstring for the
+    fixed-external-LM production stance)."""
+    from .textstats import lm_perplexity
+
+    return lm_perplexity(read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
 def langid_documents(sf_dir: str):
     from .textstats import langid
 

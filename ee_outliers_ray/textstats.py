@@ -388,6 +388,117 @@ def decontaminate(ds, bench_ngrams, *, n: int = 6,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def lm_perplexity(ds, *, alpha: float = 0.1, prune_min_count: int = 1,
+                  max_model_rows: int = 20_000_000,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style n-gram LM quality scoring: per-doc mean negative
+    log-probability under an add-alpha bigram model
+    (``P(w|v) = (c(v,w)+a) / (c(v)+a*V)``, V = distinct-unigram count).
+
+    Two passes.  (1) COUNTS: one tokenize pass emits per-batch partial
+    unigram/bigram hash counts (pre-aggregated with np.unique before the
+    shuffle, so the groupby moves model-sized — not corpus-sized — rows);
+    a single ``groupby(kind, key).sum`` finishes them.  (2) SCORE: the
+    count arrays are sorted, ``ray.put`` once, and every task looks
+    bigram/unigram hashes up with one searchsorted each.
+
+    Scale stance: in production (CCNet) the LM is a FIXED external
+    artifact — small by design, hence the broadcast shape.  The
+    corpus-trained variant here exists so the gate is self-contained and
+    SQL-oracle-able; its bigram table grows with the corpus, so
+    ``prune_min_count`` bounds the broadcast (pruned bigrams score as
+    count 0 — the smoothing already handles unseen pairs) and
+    ``max_model_rows`` fails loudly instead of silently shipping a
+    corpus-sized closure.  Bigram hashes are the shared k-gram rolling
+    hash (k=2; 1-token docs' short-doc shingles masked out, same as
+    decontaminate); count keys cross the groupby as int64 views
+    (CLAUDE.md invariant).
+
+    Output: (doc_id, n_tokens, bigram_nll) — nll in nats over the doc's
+    n-1 bigrams, 0.0 for docs with < 2 tokens, duck-rounded to 6 dp."""
+    import ray
+
+    from .broadcast import cached_get
+    from .hashing import shingle_hashes
+
+    def part_counts(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = hash_string_array(toks.flatten())
+        lens = off[1:] - off[:-1]
+        uk, uc = np.unique(th, return_counts=True)
+        bh, boff = shingle_hashes(th, off, 2)
+        full = np.repeat(lens >= 2, boff[1:] - boff[:-1])
+        bk, bc = np.unique(bh[full], return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(uk), np.int64), np.ones(len(bk), np.int64)])),
+            "key": pa.array(np.concatenate([uk, bk]).view(np.int64)),
+            "c": pa.array(np.concatenate([uc, bc]).astype(np.int64)),
+        })
+
+    counts = ds.map_batches(part_counts, batch_format="pyarrow") \
+        .groupby(["kind", "key"]).sum("c")
+    if prune_min_count > 1:
+        def prune(b: pa.Table) -> pa.Table:
+            keep = pc.or_(pc.equal(b["kind"], 0),
+                          pc.greater_equal(b["sum(c)"], prune_min_count))
+            return b.filter(keep)
+        counts = counts.map_batches(prune, batch_format="pyarrow")
+    pdf = counts.to_pandas()
+    if len(pdf) > max_model_rows:
+        raise ValueError(
+            f"LM model has {len(pdf)} rows > max_model_rows="
+            f"{max_model_rows}; raise prune_min_count (pruned bigrams "
+            "score as unseen) or max_model_rows")
+    kind = pdf["kind"].to_numpy()
+    keys = np.ascontiguousarray(pdf["key"].to_numpy()).view(np.uint64)
+    cnts = pdf["sum(c)"].to_numpy().astype(np.int64)
+    u, bg = kind == 0, kind == 1
+    uo, bo = np.argsort(keys[u]), np.argsort(keys[bg])
+    ukeys, ucnt = keys[u][uo], cnts[u][uo]
+    bkeys, bcnt = keys[bg][bo], cnts[bg][bo]
+    n_vocab = len(ukeys)
+    ref = ray.put((ukeys, ucnt, bkeys, bcnt))
+
+    def score(b: pa.Table) -> pa.Table:
+        ukeys, ucnt, bkeys, bcnt = cached_get(ref)
+        toks = tokenize_column(b[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = hash_string_array(toks.flatten())
+        lens = off[1:] - off[:-1]
+        ndoc = len(lens)
+        bh, boff = shingle_hashes(th, off, 2)
+        full = np.repeat(lens >= 2, boff[1:] - boff[:-1])
+        bh = bh[full]
+        # context hash per bigram = token hash at every non-last position
+        vmask = np.ones(len(th), dtype=bool)
+        vmask[(off[1:] - 1)[lens > 0]] = False
+        vh = th[vmask]
+        nb = np.maximum(lens - 1, 0)
+        if len(bh):
+            cv = ucnt[np.searchsorted(ukeys, vh)]
+            if len(bkeys):
+                bi = np.minimum(np.searchsorted(bkeys, bh), len(bkeys) - 1)
+                cb = np.where(bkeys[bi] == bh, bcnt[bi], 0)
+            else:  # every bigram pruned: all score as unseen
+                cb = np.zeros(len(bh), dtype=np.int64)
+            lp = np.log((cb + alpha) / (cv + alpha * n_vocab))
+            soff = np.zeros(ndoc + 1, dtype=np.int64)
+            np.cumsum(nb, out=soff[1:])
+            sums = _per_doc_sums(lp, soff)
+        else:
+            sums = np.zeros(ndoc, dtype=np.float64)
+        nll = np.where(nb > 0, -sums / np.maximum(nb, 1), 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(lens),
+            "bigram_nll": pa.array(duck_round(nll, 6)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
                    text_col: str = "text", id_col: str = "doc_id"):
     """Sequence packing for LLM training: assign docs to fixed-token-

@@ -315,6 +315,59 @@ def test_decontaminate_semantics():
         decontaminate(ds, ["a b"], n=3)
 
 
+def test_lm_perplexity_semantics():
+    """Bigram-LM nll matches a pure-Python add-alpha reference on a
+    hand-built corpus; pruning scores pruned bigrams as unseen; the
+    model-size gate raises."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from ee_outliers_ray.functions import duck_round
+    from ee_outliers_ray.textstats import lm_perplexity
+
+    docs = ["the cat sat", "the cat ran", "cat", "", "the the the"]
+    tbl = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl)
+
+    def ref_nll(alpha, prune=1):
+        toks = [d.split() for d in docs]
+        uc = Counter(t for ts in toks for t in ts)
+        bc = Counter((ts[i], ts[i + 1]) for ts in toks
+                     for i in range(len(ts) - 1))
+        bc = {k: v for k, v in bc.items() if v >= prune}
+        v = len(uc)
+        out = []
+        for ts in toks:
+            if len(ts) < 2:
+                out.append(0.0)
+                continue
+            s = sum(math.log((bc.get((ts[i], ts[i + 1]), 0) + alpha)
+                             / (uc[ts[i]] + alpha * v))
+                    for i in range(len(ts) - 1))
+            out.append(-s / (len(ts) - 1))
+        return [float(duck_round(x, 6)) for x in out]
+
+    got = lm_perplexity(ds, alpha=0.1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [3, 3, 1, 0, 3]
+    assert got["bigram_nll"].tolist() == ref_nll(0.1)
+
+    pruned = lm_perplexity(ds, alpha=0.1, prune_min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert pruned["bigram_nll"].tolist() == ref_nll(0.1, prune=2)
+    # ('the','cat') survives (count 2); ('cat','sat') is pruned -> doc 0
+    # scores strictly worse pruned than unpruned
+    assert pruned["bigram_nll"][0] > got["bigram_nll"][0]
+
+    with pytest.raises(ValueError, match="max_model_rows"):
+        lm_perplexity(ds, max_model_rows=3)
+
+
 def test_hash_split_fractions_and_determinism():
     import numpy as np
 
