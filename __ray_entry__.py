@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver path exactly) and the 1M-doc recall datum in BASELINE.md.
 
     Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
-    decontaminate, lm_perplexity — all NEW
+    decontaminate, lm_perplexity, quality_resample — all NEW
     operators, all SQL-oracled) are APPENDED at the very tail rather
     than inserted in the text-analysis group: the window is exactly 50
     entries, so an in-group insert would push media_features (changed
@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counts -> broadcast model -> searchsorted lookups) —
         # post-freeze append.
         "lm_perplexity": P.lm_perplexity_docs,
+        # Deterministic quality-weighted resampling (floor(w) copies +
+        # mix64-decided fractional copy) — post-freeze append.
+        "quality_resample": P.quality_resample,
     }
 
 
@@ -380,11 +383,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
                    round(coalesce(-agg.s / agg.nb, 0.0), 6) AS bigram_nll
             FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id"""
+    # quality-weighted resampling: w = 16 * stopword_ratio (the
+    # quality_scores oracle's exact rounded expression); the fractional
+    # copy compares mix64 as DOUBLE against frac(w) * 2^64 with every
+    # operand explicitly DOUBLE so both engines do identical float64
+    # arithmetic (bare literals are DECIMAL in DuckDB).
+    resample_sql = f"""
+            WITH {_ohs.mix64_of_id_cte()},
+            q AS (SELECT doc_id,
+                    16.0::DOUBLE * (CASE WHEN len(toks) > 0 THEN
+                      round(len(list_filter(toks,
+                        x -> list_contains({stop_list}, x)))::DOUBLE
+                            / len(toks), 6) ELSE 0.0 END) AS w
+                  FROM (SELECT doc_id, {TOK} AS toks FROM documents)),
+            n AS (SELECT q.doc_id,
+                    (floor(w) + CASE WHEN h.mx::DOUBLE <
+                         (w - floor(w)) * 18446744073709551616.0::DOUBLE
+                       THEN 1 ELSE 0 END)::BIGINT AS n
+                  FROM q JOIN h USING (doc_id))
+            SELECT doc_id, unnest(range(n)) AS copy FROM n WHERE n > 0"""
     return {
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
         "decontaminate": decon_sql,
         "lm_perplexity": lm_sql,
+        "quality_resample": resample_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""

@@ -1032,6 +1032,26 @@ def lm_perplexity_docs(sf_dir: str):
                               columns=["doc_id", "text"]))
 
 
+def quality_resample(sf_dir: str):
+    """Deterministic quality-weighted resampling over documents: weight
+    w = 16 * stopword_ratio (a proven quality proxy; the multiplier is
+    sized so corpus weights straddle 1 — max ~2.4 — and the gate
+    exercises the guaranteed-copy, fractional and drop paths), then
+    textstats.resample_by_weight emits floor(w) copies plus a
+    mix64(doc_id)-decided fractional copy."""
+    from .textstats import quality_scores, resample_by_weight
+
+    q = quality_scores(read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+
+    def addw(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "w", pc.multiply(b["stopword_ratio"], 16.0))
+
+    return resample_by_weight(
+        q.map_batches(addw, batch_format="pyarrow"), "w")
+
+
 def langid_documents(sf_dir: str):
     from .textstats import langid
 

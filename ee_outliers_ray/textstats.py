@@ -388,6 +388,39 @@ def decontaminate(ds, bench_ngrams, *, n: int = 6,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def resample_by_weight(ds, weight_col: str, *, id_col: str = "doc_id"):
+    """Deterministic importance/temperature resampling (DoReMi /
+    data-mixing style): each row is emitted ``floor(w)`` times plus one
+    more with probability ``frac(w)`` — decided by ``mix64(doc_id)``,
+    not an RNG, so the sample is reproducible across runs, parallelism
+    and retries (same contract as hash_split/hash_sample).  Weights < 1
+    downsample, weights > 1 upsample; w <= 0 drops the row.
+
+    Shuffle-free flat-map: per batch, copies via one np.repeat; the
+    fractional accept compares mix64 as float64 against
+    ``frac(w) * 2^64`` (both engines round the uint64 to double the
+    same way — the SQL oracle uses ``mx::DOUBLE``).
+
+    Output: (doc_id, copy) with copy in [0, n)."""
+    from .hashing import mix64
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mx = mix64(ids.astype(np.uint64)).astype(np.float64)
+        fl = np.floor(np.maximum(w, 0.0))
+        frac = np.maximum(w, 0.0) - fl
+        n = (fl + (mx < frac * 2.0 ** 64)).astype(np.int64)
+        total = int(n.sum())
+        off = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=off[1:])
+        copy = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], n)
+        return pa.table({id_col: pa.array(np.repeat(ids, n)),
+                         "copy": pa.array(copy)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def lm_perplexity(ds, *, alpha: float = 0.1, prune_min_count: int = 1,
                   max_model_rows: int = 20_000_000,
                   text_col: str = "text", id_col: str = "doc_id"):

@@ -315,6 +315,49 @@ def test_decontaminate_semantics():
         decontaminate(ds, ["a b"], n=3)
 
 
+def test_resample_by_weight_semantics():
+    """floor(w) guaranteed copies + mix64-decided fractional copy;
+    w <= 0 drops; copy indices are 0..n-1; fully deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ee_outliers_ray.hashing import mix64
+    from ee_outliers_ray.textstats import resample_by_weight
+
+    ids = np.arange(20, dtype=np.int64)
+    w = np.array([0.0, 1.0, 2.5, 0.5, -1.0] * 4)
+    tbl = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    ds = ray.data.from_arrow(tbl)
+    out = resample_by_weight(ds, "w").to_pandas() \
+        .sort_values(["doc_id", "copy"]).reset_index(drop=True)
+
+    mx = mix64(ids.astype(np.uint64)).astype(np.float64)
+    fl = np.floor(np.maximum(w, 0.0))
+    frac = np.maximum(w, 0.0) - fl
+    n_want = (fl + (mx < frac * 2.0 ** 64)).astype(np.int64)
+
+    got_n = out.groupby("doc_id")["copy"].agg(["count", "min", "max"])
+    for d in ids:
+        n = int(n_want[d])
+        if n == 0:
+            assert d not in got_n.index
+        else:
+            assert got_n.loc[d, "count"] == n
+            assert got_n.loc[d, "min"] == 0
+            assert got_n.loc[d, "max"] == n - 1
+    # w=1.0 rows always emit exactly one copy; w=0 and w<0 never emit
+    assert all(n_want[ids % 5 == 1] == 1)
+    assert all(n_want[ids % 5 == 0] == 0) and all(n_want[ids % 5 == 4] == 0)
+    # at least one fractional accept and one reject across the w=2.5 rows
+    ns = n_want[ids % 5 == 2]
+    assert ns.min() == 2 and ns.max() == 3
+
+    again = resample_by_weight(ds, "w").to_pandas() \
+        .sort_values(["doc_id", "copy"]).reset_index(drop=True)
+    assert out.equals(again)
+
+
 def test_lm_perplexity_semantics():
     """Bigram-LM nll matches a pure-Python add-alpha reference on a
     hand-built corpus; pruning scores pruned bigrams as unseen; the
