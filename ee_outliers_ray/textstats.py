@@ -429,9 +429,17 @@ def lm_perplexity(ds, *, alpha: float = 0.1, prune_min_count: int = 1,
     (``P(w|v) = (c(v,w)+a) / (c(v)+a*V)``, V = distinct-unigram count).
 
     Two passes.  (1) COUNTS: one tokenize pass emits per-batch partial
-    unigram/bigram hash counts (pre-aggregated with np.unique before the
-    shuffle, so the groupby moves model-sized — not corpus-sized — rows);
-    a single ``groupby(kind, key).sum`` finishes them.  (2) SCORE: the
+    unigram/bigram hash counts (pre-aggregated with np.unique inside the
+    task, so only model-sized — not corpus-sized — rows leave it); the
+    partials then STREAM to the driver through ``iter_batches`` and fold
+    into the model with amortized sorted merges.  The driver is the
+    right reducer here — the model must land on the driver anyway to be
+    broadcast, and a distributed ``groupby(kind, key).sum`` of the same
+    partials measured 6-10x slower than the streamed fold at 2M docs
+    (112 s shuffle vs ~12 s map + seconds of driver merge, BASELINE.md)
+    while producing the identical table.  Driver memory stays bounded:
+    the buffer folds every ``merge_rows`` partial rows, so residency is
+    O(model + merge_rows) regardless of corpus size.  (2) SCORE: the
     count arrays are sorted, ``ray.put`` once, and every task looks
     bigram/unigram hashes up with one searchsorted each.
 
@@ -470,27 +478,62 @@ def lm_perplexity(ds, *, alpha: float = 0.1, prune_min_count: int = 1,
             "c": pa.array(np.concatenate([uc, bc]).astype(np.int64)),
         })
 
-    counts = ds.map_batches(part_counts, batch_format="pyarrow") \
-        .groupby(["kind", "key"]).sum("c")
+    def _fold(key_parts: list, cnt_parts: list) -> tuple:
+        """Sum duplicate keys across sorted-or-not parts; returns
+        (sorted unique keys, exact int64 counts)."""
+        k = np.concatenate(key_parts)
+        c = np.concatenate(cnt_parts)
+        uk, inv = np.unique(k, return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, inv, c)
+        return uk, uc
+
+    merge_rows = 8_000_000
+    acc = {0: (np.zeros(0, np.uint64), np.zeros(0, np.int64)),
+           1: (np.zeros(0, np.uint64), np.zeros(0, np.int64))}
+    buf: dict = {0: ([], []), 1: ([], [])}
+    buffered = 0
+
+    def flush() -> None:
+        nonlocal buffered
+        for kd in (0, 1):
+            ks, cs = buf[kd]
+            if ks:
+                acc[kd] = _fold([acc[kd][0]] + ks, [acc[kd][1]] + cs)
+                buf[kd] = ([], [])
+        buffered = 0
+        if len(acc[0][0]) + len(acc[1][0]) > max_model_rows:
+            raise ValueError(
+                f"LM model exceeds max_model_rows={max_model_rows} "
+                "mid-stream; raise prune_min_count (pruned bigrams "
+                "score as unseen) or max_model_rows")
+
+    parts = ds.map_batches(part_counts, batch_format="pyarrow")
+    for bt in parts.iter_batches(batch_format="pyarrow"):
+        kd_col = bt["kind"].to_numpy(zero_copy_only=False)
+        key = np.ascontiguousarray(
+            bt["key"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        c = bt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for kd in (0, 1):
+            m = kd_col == kd
+            buf[kd][0].append(key[m])
+            buf[kd][1].append(c[m])
+        buffered += len(kd_col)
+        if buffered >= merge_rows:
+            flush()
+    flush()
+
+    ukeys, ucnt = acc[0]
+    bkeys, bcnt = acc[1]
     if prune_min_count > 1:
-        def prune(b: pa.Table) -> pa.Table:
-            keep = pc.or_(pc.equal(b["kind"], 0),
-                          pc.greater_equal(b["sum(c)"], prune_min_count))
-            return b.filter(keep)
-        counts = counts.map_batches(prune, batch_format="pyarrow")
-    pdf = counts.to_pandas()
-    if len(pdf) > max_model_rows:
+        keep = bcnt >= prune_min_count
+        bkeys, bcnt = bkeys[keep], bcnt[keep]
+    n_model = len(ukeys) + len(bkeys)
+    if n_model > max_model_rows:
         raise ValueError(
-            f"LM model has {len(pdf)} rows > max_model_rows="
+            f"LM model has {n_model} rows > max_model_rows="
             f"{max_model_rows}; raise prune_min_count (pruned bigrams "
             "score as unseen) or max_model_rows")
-    kind = pdf["kind"].to_numpy()
-    keys = np.ascontiguousarray(pdf["key"].to_numpy()).view(np.uint64)
-    cnts = pdf["sum(c)"].to_numpy().astype(np.int64)
-    u, bg = kind == 0, kind == 1
-    uo, bo = np.argsort(keys[u]), np.argsort(keys[bg])
-    ukeys, ucnt = keys[u][uo], cnts[u][uo]
-    bkeys, bcnt = keys[bg][bo], cnts[bg][bo]
     n_vocab = len(ukeys)
     ref = ray.put((ukeys, ucnt, bkeys, bcnt))
 
