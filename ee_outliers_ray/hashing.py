@@ -72,16 +72,19 @@ def string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets - offsets[0]
 
 
-def hash_bytes_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """One 64-bit hash per segment of ``data`` delimited by ``offsets``:
-    h_i = mix64( len_i ^ sum_j data[j] * R^(end_i-1-j) ).  Fully
-    vectorized: one power-table gather + one reduceat over the batch."""
+# hash_bytes_segments picks the column-wise Horner path when the longest
+# segment is at most this many bytes (covers tokenizer tokens and
+# substring windows); longer segments fall back to the gather+reduceat
+# path.  Both paths compute the identical polynomial mod 2^64 — the
+# hypothesis property pins and the forced-path equality test hold across
+# the cutoff, so moving it is safe (unlike the codec kernel cutoffs).
+_HORNER_MAX_LEN = 64
+
+
+def _hash_bytes_segments_reduceat(data: np.ndarray, offsets: np.ndarray,
+                                  lens: np.ndarray) -> np.ndarray:
+    """Gather+reduceat evaluation (one power-table gather per byte)."""
     n = len(offsets) - 1
-    lens = offsets[1:] - offsets[:-1]
-    if n == 0:
-        return np.zeros(0, dtype=np.uint64)
-    if len(data) == 0:
-        return mix64(lens.astype(np.uint64))
     powers = _pow_table(_R, int(lens.max()))
     pos = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1], lens)
     exp = np.repeat(lens - 1, lens) - pos
@@ -90,6 +93,54 @@ def hash_bytes_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         sums = np.add.reduceat(np.concatenate([terms, np.zeros(1, np.uint64)]),
                                offsets[:-1])[:n]
     sums[lens == 0] = 0  # reduceat quirk on empty segments
+    return sums
+
+
+def _hash_bytes_segments_horner(data: np.ndarray, offsets: np.ndarray,
+                                lens: np.ndarray) -> np.ndarray:
+    """Column-wise Horner evaluation: segments sorted by length
+    descending, then one ``acc = acc*R + byte_j`` vector step per byte
+    position over the (shrinking) active prefix.  Identical polynomial
+    mod 2^64; ~3 full-array passes fewer than the gather+reduceat path
+    (no arange/repeat/exp intermediates), measured 2-3x faster on
+    token-length segments."""
+    n = len(offsets) - 1
+    order = np.argsort(lens, kind="stable")[::-1]
+    starts = offsets[:-1][order]
+    slens = lens[order]
+    maxlen = int(slens[0])
+    # active prefix per position j: segments with len > j
+    kj = np.searchsorted(-slens, -np.arange(1, maxlen + 1), side="right")
+    acc = np.zeros(n, dtype=np.uint64)
+    with _ERR:
+        for j in range(maxlen):
+            k = int(kj[j])
+            if k == 0:
+                break
+            a = acc[:k]
+            a *= _R
+            a += data[starts[:k] + j]
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = acc
+    return out
+
+
+def hash_bytes_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """One 64-bit hash per segment of ``data`` delimited by ``offsets``:
+    h_i = mix64( len_i ^ sum_j data[j] * R^(end_i-1-j) ).  Fully
+    vectorized; short segments (<= _HORNER_MAX_LEN bytes) take the
+    column-wise Horner path, long ones the power-gather + reduceat
+    path — bit-identical by construction and by forced-path test."""
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(data) == 0:
+        return mix64(lens.astype(np.uint64))
+    if int(lens.max()) <= _HORNER_MAX_LEN:
+        sums = _hash_bytes_segments_horner(data, offsets, lens)
+    else:
+        sums = _hash_bytes_segments_reduceat(data, offsets, lens)
     return mix64(sums ^ lens.astype(np.uint64))
 
 

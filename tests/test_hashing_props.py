@@ -53,6 +53,32 @@ def test_hash_string_array_matches_reference(strings):
 
 
 @settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=90), min_size=1,
+                max_size=60))
+def test_hash_bytes_segments_paths_bit_identical(segs):
+    """The column-wise Horner path and the gather+reduceat path compute
+    the identical polynomial mod 2^64 for ANY segment lengths — the
+    _HORNER_MAX_LEN cutoff (exercised both ways by max_size=90) must
+    never observably matter."""
+    from ee_outliers_ray import hashing as H
+
+    data = np.frombuffer(b"".join(segs), dtype=np.uint8)
+    off = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segs], out=off[1:])
+    lens = off[1:] - off[:-1]
+    if len(data) == 0:
+        return
+    a = H._hash_bytes_segments_horner(data, off, lens)
+    b = H._hash_bytes_segments_reduceat(data, off, lens)
+    assert (a == b).all()
+    # and the public kernel equals the strings reference regardless of
+    # which side of the cutoff it picked
+    full = H.hash_bytes_segments(data, off)
+    want = H.mix64(b ^ lens.astype(np.uint64))
+    assert (full == want).all()
+
+
+@settings(max_examples=40, deadline=None)
 @given(docs_st, st.integers(min_value=1, max_value=5))
 def test_shingle_counts_and_values(docs, k):
     flat = [t for d in docs for t in d]
