@@ -216,6 +216,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Deterministic quality-weighted resampling (floor(w) copies +
         # mix64-decided fractional copy) — post-freeze append.
         "quality_resample": P.quality_resample,
+        # Per-(source, lang) data-mixing stats (docs, tokens, mean doc
+        # length, token share) — post-freeze append.
+        "source_mix": P.source_mix,
+        # Deterministic per-source cap downsample (mix64 threshold per
+        # source; the mixing op that flattens over-represented
+        # sources) — post-freeze append.
+        "stratified_sample": P.stratified_sample,
+        # BPE tokenizer training (distributed word-count pass -> driver
+        # merge loop over the vocab table, the SentencePiece/HF shape).
+        # Iterative, so no SQL oracle (driver check is rows-only);
+        # pinned by tests/test_bpe_train.py against an independently
+        # coded dict-based reference — post-freeze append.
+        "bpe_train": P.bpe_train_docs,
     }
 
 
@@ -402,12 +415,37 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END)::BIGINT AS n
                   FROM q JOIN h USING (doc_id))
             SELECT doc_id, unnest(range(n)) AS copy FROM n WHERE n > 0"""
+    # per-(source, lang) mixing stats; both engines compute mean/share as
+    # float64 divisions of int64 sums, rounded half-away to 6 dp
+    source_mix_sql = f"""
+            WITH t AS (SELECT source, lang, len({TOK}) AS n FROM documents),
+            g AS (SELECT source, lang, count(*) AS n_docs,
+                         sum(n)::BIGINT AS n_tokens
+                  FROM t GROUP BY 1, 2),
+            tot AS (SELECT sum(n_tokens)::DOUBLE AS tt FROM g)
+            SELECT source, lang, n_docs, n_tokens,
+                   round(n_tokens::DOUBLE / n_docs, 6) AS mean_tokens,
+                   round(n_tokens::DOUBLE / tot.tt, 6) AS token_share
+            FROM g, tot"""
+    # stratified downsample: keep when the source is at/under the cap, or
+    # when mix64(doc_id) viewed as DOUBLE falls under (cap/n) * 2^64 —
+    # identical float64 arithmetic on both sides (every operand DOUBLE)
+    strat_sql = f"""
+            WITH {_ohs.mix64_of_id_cte()},
+            s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN s USING (source) JOIN h USING (doc_id)
+            WHERE s.n <= {P.STRAT_CAP} OR h.mx::DOUBLE <
+                  ({P.STRAT_CAP}::DOUBLE / s.n::DOUBLE)
+                  * 18446744073709551616.0::DOUBLE"""
     return {
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
         "decontaminate": decon_sql,
         "lm_perplexity": lm_sql,
         "quality_resample": resample_sql,
+        "source_mix": source_mix_sql,
+        "stratified_sample": strat_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""
@@ -926,5 +964,5 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END::BIGINT AS keep
             FROM sig""",
         # no oracle (approximate / iterative / stubbed — justified):
-        # embedding_dups, word2vec_outliers, media_features
+        # embedding_dups, word2vec_outliers, media_features, bpe_train
     }

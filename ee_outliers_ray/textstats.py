@@ -618,6 +618,159 @@ def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
         .groupby("grp").map_groups(pack, batch_format="pandas")
 
 
+def word_counts(ds, *, min_count: int = 1, max_vocab_rows: int = 50_000_000,
+                text_col: str = "text"):
+    """Corpus word-frequency table as (sorted word, count) numpy arrays on
+    the driver: one tokenize pass emits per-batch partial (word, count)
+    rows (np.unique inside the task, so only vocab-sized rows leave it),
+    which stream to the driver through ``iter_batches`` and fold with
+    amortized sorted merges — the same streamed-driver-fold shape as
+    ``lm_perplexity``'s count pass (measured 6-10x faster than a
+    distributed groupby on model-sized partials, BASELINE.md r5).  The
+    vocabulary must land on the driver anyway for tokenizer training /
+    broadcast; ``min_count`` prunes the long tail and ``max_vocab_rows``
+    fails loudly instead of silently accumulating an unbounded table."""
+
+    def parts_fn(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        w, c = np.unique(flat, return_counts=True)
+        return pa.table({"word": pa.array(w, type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _fold(word_parts: list, cnt_parts: list) -> tuple:
+        w = np.concatenate(word_parts)
+        c = np.concatenate(cnt_parts)
+        uw, inv = np.unique(w, return_inverse=True)
+        uc = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(uc, inv, c)
+        return uw, uc
+
+    merge_rows = 4_000_000
+    acc_w = np.zeros(0, dtype=object)
+    acc_c = np.zeros(0, dtype=np.int64)
+    buf_w: list = []
+    buf_c: list = []
+    buffered = 0
+    for bt in ds.map_batches(parts_fn, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        buf_w.append(bt["word"].to_numpy(zero_copy_only=False))
+        buf_c.append(bt["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+        buffered += bt.num_rows
+        if buffered >= merge_rows:
+            acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
+            buf_w, buf_c, buffered = [], [], 0
+            if len(acc_w) > max_vocab_rows:
+                raise ValueError(
+                    f"vocabulary exceeds max_vocab_rows={max_vocab_rows} "
+                    "mid-stream; raise min_count or max_vocab_rows")
+    if buf_w:
+        acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
+    if min_count > 1:
+        keep = acc_c >= min_count
+        acc_w, acc_c = acc_w[keep], acc_c[keep]
+    if len(acc_w) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary has {len(acc_w)} rows > max_vocab_rows="
+            f"{max_vocab_rows}; raise min_count or max_vocab_rows")
+    return acc_w, acc_c
+
+
+def bpe_train(ds, *, num_merges: int = 30, min_count: int = 1,
+              text_col: str = "text"):
+    """BPE tokenizer training (Sennrich et al. 2016): learn the top
+    ``num_merges`` byte-pair merges over the corpus.
+
+    The scalable shape is the one every production trainer
+    (SentencePiece, HF tokenizers) uses: the CORPUS pass only aggregates
+    word frequencies (``word_counts`` — distributed partial counts
+    streaming to a driver fold), and the merge loop then runs over the
+    vocabulary-sized (word, count) table in driver memory — corpus size
+    never enters the loop.  Each iteration counts weighted adjacent
+    symbol pairs across the vocabulary (vectorized numpy over a flat
+    symbol array) and merges the most frequent pair; ties break on the
+    lexicographically smallest (left, right), so the merge table is
+    fully deterministic and independent of Ray parallelism / batch
+    boundaries (pinned by tests/test_bpe_train.py against an
+    independently-coded dict-based reference).
+
+    Output (pandas): rank | left | right | pair_count, one row per
+    learned merge, ordered by rank.  Stops early when no pair occurs
+    at least twice."""
+    import pandas as pd
+
+    words, counts = word_counts(ds, min_count=min_count, text_col=text_col)
+    # flat symbol representation: one object array of current symbols,
+    # one repeat-expanded weight array, and word-boundary ids so pairs
+    # never span words
+    sym: list = []
+    wid: list = []
+    wt: list = []
+    for i, (w, c) in enumerate(zip(words, counts)):
+        for ch in w:
+            sym.append(ch)
+            wid.append(i)
+            wt.append(c)
+    sym_a = np.asarray(sym, dtype=object)
+    wid_a = np.asarray(wid, dtype=np.int64)
+    wt_a = np.asarray(wt, dtype=np.int64)
+
+    merges = []
+    for rank in range(num_merges):
+        if len(sym_a) < 2:
+            break
+        adj = wid_a[1:] == wid_a[:-1]
+        if not adj.any():
+            break
+        left = sym_a[:-1][adj]
+        right = sym_a[1:][adj]
+        w = wt_a[:-1][adj]
+        # space separator: symbols are [a-z0-9] concatenations, so a
+        # space never occurs inside one (and numpy would silently strip
+        # a trailing '\x00' separator as fixed-width padding)
+        pair = np.char.add(np.char.add(left.astype(np.str_), " "),
+                           right.astype(np.str_))
+        up, inv = np.unique(pair, return_inverse=True)
+        pc_ = np.zeros(len(up), dtype=np.int64)
+        np.add.at(pc_, inv, w)
+        # highest count, ties -> lexicographically smallest pair string
+        # (np.unique sorted up ascending, so the first argmax wins ties)
+        best = int(np.argmax(pc_))
+        if pc_[best] < 2:
+            break
+        l_s, r_s = up[best].split(" ")
+        merges.append((rank, l_s, r_s, int(pc_[best])))
+        # merge every adjacent (l_s, r_s) occurrence left-to-right:
+        # within a run of overlapping candidates (e.g. 'aaa' for pair
+        # a+a) only non-overlapping leftmost matches merge, matching
+        # the reference dict-based algorithm
+        cand = adj & (sym_a[:-1] == l_s) & (sym_a[1:] == r_s)
+        idx = np.flatnonzero(cand)
+        if l_s == r_s:
+            # symbols are atomic, so overlapping candidates exist only
+            # for identical halves (runs like 'aaa' for pair a+a):
+            # resolve to leftmost non-overlapping, matching the
+            # reference left-to-right scan
+            taken = []
+            last = -2
+            for i in idx:
+                if i == last + 1:
+                    continue
+                taken.append(i)
+                last = i
+            idx = np.asarray(taken, dtype=np.int64)
+        sym_a = sym_a.copy()
+        sym_a[idx] = l_s + r_s
+        drop = np.zeros(len(sym_a), dtype=bool)
+        drop[idx + 1] = True
+        keep = ~drop
+        sym_a, wid_a, wt_a = sym_a[keep], wid_a[keep], wt_a[keep]
+
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "pair_count"]) \
+        .astype({"rank": np.int64, "pair_count": np.int64})
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Deterministic order-sensitive 64-bit rolling fingerprint over the
     token stream: every token poly-hashed once (vectorized), then a
