@@ -1071,54 +1071,13 @@ def fingerprints(sf_dir: str):
 
 
 def source_mix(sf_dir: str):
-    """Data-mixing stats per (source, lang): doc count, token count, mean
-    doc length, and share of the total token budget — the table a
-    training-mix designer reads before setting per-source weights.  Each
-    task pre-aggregates its batch to at most |sources x langs| partial
-    rows (np.unique on the composite key), and the tiny partials stream
-    to a driver fold — the same shape as lm_perplexity's count pass; a
-    distributed groupby would shuffle the same rows for no benefit at
-    this cardinality."""
+    """Data-mixing stats per (source, lang) over documents
+    (textstats.mix_stats — per-batch partial aggregation streaming to a
+    tiny driver fold)."""
+    from .textstats import mix_stats
 
-    def parts(b: pa.Table) -> pa.Table:
-        n = token_counts_column(b["text"])
-        src = b["source"].to_numpy(zero_copy_only=False).astype(np.str_)
-        lang = b["lang"].to_numpy(zero_copy_only=False).astype(np.str_)
-        # code-based composite group (never string concat: numpy strips
-        # trailing-'\x00' separators as fixed-width padding)
-        us, si = np.unique(src, return_inverse=True)
-        ul, li = np.unique(lang, return_inverse=True)
-        code = si * len(ul) + li
-        uc, inv = np.unique(code, return_inverse=True)
-        nd = np.bincount(inv, minlength=len(uc)).astype(np.int64)
-        nt = np.zeros(len(uc), dtype=np.int64)
-        np.add.at(nt, inv, n)
-        return pa.table({
-            "source": pa.array(us[uc // len(ul)].tolist(), type=pa.string()),
-            "lang": pa.array(ul[uc % len(ul)].tolist(), type=pa.string()),
-            "n_docs": pa.array(nd), "n_tokens": pa.array(nt)})
-
-    ds = read(sf_dir, "documents", columns=["text", "source", "lang"])
-    acc: dict[tuple, list[int]] = {}
-    for bt in ds.map_batches(parts, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        for s, lg, nd, nt in zip(bt["source"].to_pylist(),
-                                 bt["lang"].to_pylist(),
-                                 bt["n_docs"].to_pylist(),
-                                 bt["n_tokens"].to_pylist()):
-            e = acc.setdefault((s, lg), [0, 0])
-            e[0] += nd
-            e[1] += nt
-    total = float(sum(v[1] for v in acc.values()))
-    rows = []
-    for src, lang in sorted(acc):
-        nd, nt = acc[(src, lang)]
-        rows.append((src, lang, nd, nt,
-                     float(duck_round(np.float64(nt / nd), 6)),
-                     float(duck_round(np.float64(nt / total), 6))))
-    return pd.DataFrame(rows, columns=[
-        "source", "lang", "n_docs", "n_tokens", "mean_tokens",
-        "token_share"]).astype({"n_docs": np.int64, "n_tokens": np.int64})
+    return mix_stats(read(sf_dir, "documents",
+                          columns=["text", "source", "lang"]))
 
 
 # per-source cap for stratified_sample, shared with the SQL oracle
@@ -1126,46 +1085,14 @@ STRAT_CAP = 15
 
 
 def stratified_sample(sf_dir: str, cap: int = STRAT_CAP):
-    """Deterministic stratified downsample: every source contributes at
-    most ~``cap`` docs in expectation — the mixing op that flattens
-    over-represented sources.  Pass 1 folds tiny per-batch partial
-    source counts on the driver (source cardinality is bounded); pass 2
-    keeps rows whose mix64(doc_id), viewed as float64, falls below
-    (cap / n_source) * 2^64 — RNG-free, parallelism-independent, and
+    """Deterministic per-source cap downsample over documents
+    (textstats.stratified_sample — mix64 float64 threshold per source,
     bit-reproducible against the SQL oracle because both engines do the
-    identical float64 arithmetic (sources at or under the cap keep all
-    rows through an explicit branch, so no threshold ever reaches
-    2^64).  The rate table is tiny and ships by closure capture (a
-    broadcast lookup, never a shuffle join)."""
-    from .hashing import mix64
+    identical float64 arithmetic)."""
+    from .textstats import stratified_sample as strat
 
-    ds = read(sf_dir, "documents", columns=["doc_id", "source"])
-
-    def cnts(b: pa.Table) -> pa.Table:
-        src = b["source"].to_numpy(zero_copy_only=False).astype(np.str_)
-        uk, c = np.unique(src, return_counts=True)
-        return pa.table({"source": pa.array(uk.tolist(), type=pa.string()),
-                         "n": pa.array(c.astype(np.int64))})
-
-    acc: dict[str, int] = {}
-    for bt in ds.map_batches(cnts, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        for s, n in zip(bt["source"].to_pylist(), bt["n"].to_pylist()):
-            acc[s] = acc.get(s, 0) + n
-    us = np.asarray(sorted(acc), dtype=np.str_)
-    un = np.asarray([acc[s] for s in sorted(acc)], dtype=np.int64)
-    thr = (float(cap) / un.astype(np.float64)) * 18446744073709551616.0
-
-    def f(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = mix64(ids.view(np.uint64)).astype(np.float64)
-        src = b["source"].to_numpy(zero_copy_only=False).astype(np.str_)
-        gi = np.searchsorted(us, src)
-        keep = (un[gi] <= cap) | (h < thr[gi])
-        return pa.table({"doc_id": b["doc_id"],
-                         "source": b["source"]}).filter(pa.array(keep))
-
-    return ds.map_batches(f, batch_format="pyarrow")
+    return strat(read(sf_dir, "documents", columns=["doc_id", "source"]),
+                 cap=cap)
 
 
 def bpe_train_docs(sf_dir: str, num_merges: int = 30):

@@ -618,6 +618,111 @@ def pack_sequences(ds, *, max_tokens: int = 256, range_size: int = 100,
         .groupby("grp").map_groups(pack, batch_format="pandas")
 
 
+def mix_stats(ds, group_cols=("source", "lang"), *, text_col: str = "text"):
+    """Data-mixing stats per group (e.g. per (source, lang)): doc count,
+    token count, mean doc length, and share of the total token budget —
+    the table a training-mix designer reads before setting per-source
+    weights.  Each task pre-aggregates its batch to at most |groups|
+    partial rows (code-based composite via per-column np.unique — never
+    string concat: numpy strips trailing-'\\x00' separators as
+    fixed-width padding), and the tiny partials stream to a driver fold
+    — the same shape as lm_perplexity's count pass; a distributed
+    groupby would shuffle the same rows for no benefit at this
+    cardinality.  Returns pandas, sorted by the group columns."""
+    import pandas as pd
+
+    group_cols = tuple(group_cols)
+
+    def parts(b: pa.Table) -> pa.Table:
+        from .tokenizer import token_counts_column
+        n = token_counts_column(b[text_col])
+        uniqs, invs = [], []
+        for c in group_cols:
+            u, i = np.unique(
+                b[c].to_numpy(zero_copy_only=False).astype(np.str_),
+                return_inverse=True)
+            uniqs.append(u)
+            invs.append(i)
+        code = invs[0]
+        for u, i in zip(uniqs[1:], invs[1:]):
+            code = code * len(u) + i
+        uc, inv = np.unique(code, return_inverse=True)
+        nd = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        nt = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(nt, inv, n)
+        cols = {}
+        rem = uc
+        for c, u in zip(reversed(group_cols), reversed(uniqs)):
+            cols[c] = u[rem % len(u)]
+            rem = rem // len(u)
+        return pa.table({
+            **{c: pa.array(cols[c].tolist(), type=pa.string())
+               for c in group_cols},
+            "n_docs": pa.array(nd), "n_tokens": pa.array(nt)})
+
+    acc: dict[tuple, list[int]] = {}
+    for bt in ds.map_batches(parts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        keys = list(zip(*(bt[c].to_pylist() for c in group_cols)))
+        for k, nd, nt in zip(keys, bt["n_docs"].to_pylist(),
+                             bt["n_tokens"].to_pylist()):
+            e = acc.setdefault(k, [0, 0])
+            e[0] += nd
+            e[1] += nt
+    total = float(sum(v[1] for v in acc.values()))
+    rows = []
+    for k in sorted(acc):
+        nd, nt = acc[k]
+        rows.append((*k, nd, nt,
+                     float(duck_round(np.float64(nt / nd), 6)),
+                     float(duck_round(np.float64(nt / total), 6))))
+    return pd.DataFrame(rows, columns=[
+        *group_cols, "n_docs", "n_tokens", "mean_tokens",
+        "token_share"]).astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+
+def stratified_sample(ds, *, cap: int, group_col: str = "source",
+                      id_col: str = "doc_id", keep_cols=None):
+    """Deterministic stratified downsample: every group contributes at
+    most ~``cap`` rows in expectation — the mixing op that flattens
+    over-represented sources.  Pass 1 folds tiny per-batch partial
+    group counts on the driver (group cardinality is bounded); pass 2
+    keeps rows whose mix64(id), viewed as float64, falls below
+    (cap / n_group) * 2^64 — RNG-free, parallelism-independent, and
+    bit-reproducible because at-or-under-cap groups keep all rows
+    through an explicit branch (no threshold ever reaches 2^64).  The
+    rate table is tiny and ships by closure capture (a broadcast
+    lookup, never a shuffle join)."""
+    from .hashing import mix64
+
+    keep_cols = [id_col, group_col] if keep_cols is None else list(keep_cols)
+
+    def cnts(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        uk, c = np.unique(g, return_counts=True)
+        return pa.table({"g": pa.array(uk.tolist(), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    acc: dict[str, int] = {}
+    for bt in ds.map_batches(cnts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for s, n in zip(bt["g"].to_pylist(), bt["n"].to_pylist()):
+            acc[s] = acc.get(s, 0) + n
+    us = np.asarray(sorted(acc), dtype=np.str_)
+    un = np.asarray([acc[s] for s in sorted(acc)], dtype=np.int64)
+    thr = (float(cap) / un.astype(np.float64)) * 18446744073709551616.0
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix64(ids.view(np.uint64)).astype(np.float64)
+        g = b[group_col].to_numpy(zero_copy_only=False).astype(np.str_)
+        gi = np.searchsorted(us, g)
+        keep = (un[gi] <= cap) | (h < thr[gi])
+        return pa.table({c: b[c] for c in keep_cols}).filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def word_counts(ds, *, min_count: int = 1, max_vocab_rows: int = 50_000_000,
                 text_col: str = "text"):
     """Corpus word-frequency table as (sorted word, count) numpy arrays on
