@@ -708,6 +708,15 @@ def stratified_sample(ds, *, cap: int, group_col: str = "source",
             .iter_batches(batch_format="pyarrow"):
         for s, n in zip(bt["g"].to_pylist(), bt["n"].to_pylist()):
             acc[s] = acc.get(s, 0) + n
+    if not acc:
+        # zero input rows: Ray would skip the map fn entirely and lose
+        # the schema — return an explicitly-schema'd empty dataset
+        import ray
+
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], type=types[c]) for c in keep_cols}))
     us = np.asarray(sorted(acc), dtype=np.str_)
     un = np.asarray([acc[s] for s in sorted(acc)], dtype=np.int64)
     thr = (float(cap) / un.astype(np.float64)) * 18446744073709551616.0

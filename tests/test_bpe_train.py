@@ -111,6 +111,27 @@ def test_word_counts_prune_and_guard():
         word_counts(ds, max_vocab_rows=1)
 
 
+def test_new_ops_schema_stable_when_empty():
+    import pyarrow as pa
+
+    from ee_outliers_ray.textstats import mix_stats, stratified_sample
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string())}))
+    m = mix_stats(empty)
+    assert list(m.columns) == ["source", "lang", "n_docs", "n_tokens",
+                               "mean_tokens", "token_share"]
+    assert len(m) == 0
+    s = stratified_sample(empty, cap=5)
+    assert s.count() == 0
+    assert s.schema().names == ["doc_id", "source"]
+    b = bpe_train(empty)
+    assert list(b.columns) == ["rank", "left", "right", "pair_count"]
+    assert len(b) == 0
+
+
 def test_stratified_sample_respects_cap_semantics():
     """Sources at/under the cap keep every row; others keep the mix64
     subset — recomputed here independently."""
