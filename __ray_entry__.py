@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned by tests/test_bpe_train.py against an independently
         # coded dict-based reference — post-freeze append.
         "bpe_train": P.bpe_train_docs,
+        # Fixed-size token chunking (training-context preparation; the
+        # splitting counterpart of packed_sequences) — post-freeze
+        # append.
+        "chunk_docs": P.chunk_docs,
     }
 
 
@@ -438,6 +442,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.n <= {P.STRAT_CAP} OR h.mx::DOUBLE <
                   ({P.STRAT_CAP}::DOUBLE / s.n::DOUBLE)
                   * 18446744073709551616.0::DOUBLE"""
+    # fixed-size token chunking: DuckDB list slices are 1-based,
+    # end-inclusive and clamped, so chunk j (0-based) is
+    # toks[j*K+1 : (j+1)*K]
+    K = P.CHUNK_SIZE
+    chunk_sql = f"""
+            WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                  WHERE len(toks) > 0),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(range(0, (n + {K - 1}) // {K})) AS chunk_id
+                  FROM n)
+            SELECT doc_id, chunk_id,
+                   least({K}, n - chunk_id * {K})::BIGINT AS n_chunk_tokens,
+                   array_to_string(toks[chunk_id * {K} + 1
+                                        : (chunk_id + 1) * {K}],
+                                   ' ') AS chunk_text
+            FROM c"""
     return {
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
@@ -446,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_resample": resample_sql,
         "source_mix": source_mix_sql,
         "stratified_sample": strat_sql,
+        "chunk_docs": chunk_sql,
         "token_counts":
             f"SELECT doc_id, len({TOK}) AS n_tokens FROM documents",
         "term_df": f"""

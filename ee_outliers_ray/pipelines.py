@@ -1095,6 +1095,22 @@ def stratified_sample(sf_dir: str, cap: int = STRAT_CAP):
                  cap=cap)
 
 
+# chunk size for chunk_docs, shared with the SQL oracle
+CHUNK_SIZE = 64
+
+
+def chunk_docs(sf_dir: str):
+    """Fixed-size token chunking over documents
+    (textstats.chunk_documents — the splitting counterpart of
+    pack_sequences for training-context preparation; shuffle-free,
+    deterministic under any parallelism)."""
+    from .textstats import chunk_documents
+
+    return chunk_documents(read(sf_dir, "documents",
+                                columns=["doc_id", "text"]),
+                           chunk_size=CHUNK_SIZE)
+
+
 def bpe_train_docs(sf_dir: str, num_merges: int = 30):
     """BPE tokenizer training over documents (textstats.bpe_train): a
     distributed word-count pass streams vocabulary-sized partials to a
