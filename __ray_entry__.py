@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # splitting counterpart of packed_sequences) — post-freeze
         # append.
         "chunk_docs": P.chunk_docs,
+        # BM25 minimum_should_match OR query (the Lucene/ES knob between
+        # pure OR and AND; query/engine.min_match_topk) — post-freeze
+        # append, SQL-oracled.
+        "search_or": P.search_or,
     }
 
 
@@ -271,6 +275,45 @@ scores AS (
 )
 SELECT doc_id, round(s, 6) AS score
 FROM scores ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+
+def _min_match_sql(terms=("batch", "merge", "spark", "window"),
+                   m: int = 3, k: int = 10) -> str:
+    """BM25 minimum_should_match truth in SQL: docs with >= m distinct
+    matched terms, scored over the matched terms only (the engine's
+    query/engine.min_match_topk semantics); same formula as _bm25_sql
+    plus the HAVING floor and the n_matched clause count."""
+    terms_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOK}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term IN ({terms_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, count(*) AS n_matched,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / c.avgdl)) ) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+  HAVING count(*) >= {m}
+)
+SELECT doc_id, n_matched, round(s, 6) AS score
+FROM scores ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
@@ -504,6 +547,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_deletes": _bm25_sql(where="doc_id % 7 <> 3"),
         "search_and":
             f"SELECT doc_id FROM documents WHERE {search_preds}",
+        "search_or": _min_match_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

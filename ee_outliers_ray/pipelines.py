@@ -364,6 +364,28 @@ def search_and(sf_dir: str, terms: tuple[str, ...] = ("spark", "merge")):
     return pd.DataFrame({"doc_id": ids})
 
 
+def search_or(sf_dir: str,
+              terms: tuple[str, ...] = ("batch", "merge", "spark", "window"),
+              min_match: int = 3, k: int = 10):
+    """BM25-ranked OR query with a ``minimum_should_match`` floor
+    (query/engine.min_match_topk): top-k docs matching >= ``min_match``
+    distinct terms, scored over the matched terms only — the Lucene/ES
+    OR-query knob between pure OR (m=1) and AND (m=len(terms)), which
+    the reference's es_query use cases pass straight to Elasticsearch
+    (/root/reference/app/helpers/es.py:238-250).  Scores rounded for the
+    cross-engine hash compare; schema-stable when empty."""
+    from .query.engine import min_match_topk
+    from .query.reader import IndexReader
+
+    reader = IndexReader(documents_index(sf_dir))
+    d, nm, s = min_match_topk(reader, terms, min_match, k=k)
+    return pd.DataFrame({
+        "doc_id": d,
+        "n_matched": nm,
+        "score": duck_round(s, ROUND_SCORE),
+    })
+
+
 # --------------------------------------------------------------------------
 # relational pipelines (the reference's delegated ES query work, SURVEY §2.2)
 # --------------------------------------------------------------------------

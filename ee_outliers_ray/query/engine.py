@@ -518,3 +518,63 @@ def intersect_terms(reader: IndexReader, terms) -> np.ndarray:
     if not out:
         return np.array([], dtype=np.int64)
     return np.concatenate(out)
+
+
+def min_match_topk(reader: IndexReader, terms, min_match: int, k: int = 10
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BM25 top-k with a ``minimum_should_match`` floor — the Lucene/ES
+    OR-query knob the reference reaches through its es_query /
+    query_string use-case configs (/root/reference/app/helpers/es.py:
+    238-250): candidates are docs matching at least ``min_match``
+    DISTINCT query terms; each candidate scores the BM25 sum over its
+    matched terms with the same per-term weights and the same
+    ascending-term float64 accumulation order as TAAT/WAND; ties
+    (score desc, doc_id asc).  ``min_match=1`` is a pure OR query;
+    ``min_match=len(terms)`` selects exactly the AND set
+    (``intersect_terms``), BM25-ranked.
+
+    Candidate generation is the union of the query terms' postings
+    (query-sized × df — never a corpus scan); the match counter is an
+    int accumulator beside the score accumulator, both sparse over the
+    union.  Reads through ``reader.postings_decoded`` so tombstone
+    filtering applies.  Scale: per doc-shard exactly like TaatSearcher
+    (shard-local unions with injected global stats, heap merge across
+    shards); a WAND-style skip variant (mm-WAND) exists but the exact
+    sparse union is the obviously-correct form and is what the SQL
+    oracle checks.
+
+    Returns (doc_ids, n_matched, scores), scores unrounded.
+    """
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+             np.zeros(0, dtype=np.float64))
+    min_match = max(int(min_match), 1)
+    ids_parts: list[np.ndarray] = []
+    w_parts: list[np.ndarray] = []
+    for t in sorted(set(terms)):          # ascending-term sum order
+        dec = reader.postings_decoded(t)
+        if dec is None or not len(dec[0]):
+            continue
+        doc_ids, tfs = dec
+        w = term_weight(tfs, reader.doclens[doc_ids],
+                        idf(reader.n_docs, len(doc_ids)), reader.avgdl)
+        ids_parts.append(doc_ids)
+        w_parts.append(w)
+    if len(ids_parts) < min_match:        # absent terms cannot match
+        return empty
+    uniq, inv = np.unique(np.concatenate(ids_parts), return_inverse=True)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    off = 0
+    for ids, w in zip(ids_parts, w_parts):
+        # one doc appears at most once per term -> no duplicate index
+        # within a slice; slice-by-slice += preserves ascending-term
+        # per-doc accumulation order exactly
+        scores[inv[off:off + len(ids)]] += w
+        off += len(ids)
+    keep = counts >= min_match
+    if not keep.any():
+        return empty
+    d, s = topk_from_scores(uniq[keep], scores[keep], k)
+    kept_ids = uniq[keep]
+    nm = counts[keep][np.searchsorted(kept_ids, d)]
+    return d.astype(np.int64), nm, s
