@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pure OR and AND; query/engine.min_match_topk) — post-freeze
         # append, SQL-oracled.
         "search_or": P.search_or,
+        # Canonical-URL dedup stats per host (urls.py: the cheapest CC
+        # dedup signal; raw-url synthesis deterministic from doc_id,
+        # regex chain shared verbatim with the oracle) — post-freeze
+        # append, SQL-oracled.
+        "url_host_stats": P.url_host_stats,
     }
 
 
@@ -404,6 +409,43 @@ def oracle_sql() -> dict[str, str]:
                    {pii_counts},
                    {pii_red} AS redacted
             FROM aug"""
+    # URL oracle: raw-url synthesis mirrors pipelines.url_host_stats.aug
+    # arithmetically; the canonicalization regex chain is interpolated
+    # verbatim from urls.CANON_STEPS (both engines run the same rules —
+    # the PII_PATTERNS stance).
+    from ee_outliers_ray import urls as _u
+    cu = f"regexp_replace(url, '{_u.FRAGMENT_PAT}', '', 'g')"
+    cu = (f"lower(regexp_extract({cu}, '{_u.AUTHORITY_PAT}')) || "
+          f"regexp_replace({cu}, '{_u.AUTHORITY_PAT}', '')")
+    for _pat, _repl in _u.CANON_STEPS:
+        cu = f"regexp_replace({cu}, '{_pat}', '{_repl}', 'g')"
+    url_sql = f"""
+            WITH h AS (
+              SELECT doc_id, source, doc_id % 17 AS k,
+                     'www.' || source || '-' || ((doc_id % 17) % 5)
+                     || '.example.com' AS hh
+              FROM documents),
+            raw AS (
+              SELECT (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://'
+                           ELSE 'http://' END)
+                     || (CASE WHEN doc_id % 3 = 0 THEN upper(hh)
+                              ELSE hh END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END)
+                     || '/p/' || (k % 11)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                     || (CASE WHEN k % 6 = 0 THEN
+                           '?utm_source=feed&ref=' || (k % 3)
+                         WHEN k % 6 = 3 THEN '?id=' || (k % 7)
+                         ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END)
+                     AS url
+              FROM h),
+            canon AS (SELECT {cu} AS u FROM raw)
+            SELECT regexp_extract(u, '{_u.HOST_PAT}', 2) AS host,
+                   count(*) AS n_docs,
+                   count(DISTINCT u) AS n_urls,
+                   count(*) - count(DISTINCT u) AS dup_docs
+            FROM canon GROUP BY host"""
     n, mod = P.DECON_N, P.DECON_MOD
     decon_sql = f"""
             WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
@@ -506,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
+        "url_host_stats": url_sql,
         "decontaminate": decon_sql,
         "lm_perplexity": lm_sql,
         "quality_resample": resample_sql,

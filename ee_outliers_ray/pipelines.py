@@ -1554,3 +1554,47 @@ def media_features(sf_dir: str):
                                                real_jpeg=True,
                                                real_adpcm=True))
     return decode_features(ds, fake=False)
+
+
+def url_host_stats(sf_dir: str):
+    """Canonical-URL dedup summary per host (urls.url_host_stats).  The
+    testdata carries no url column, so this entry synthesizes
+    Common-Crawl-style raw urls deterministically from (doc_id, source)
+    — mixed-case scheme/host, default :80 ports, utm_* tracking params,
+    trailing slashes, fragments — and the SQL oracle builds the
+    IDENTICAL raw strings and runs the IDENTICAL canonicalization regex
+    chain (urls.CANON_STEPS, interpolated verbatim — the PII_PATTERNS
+    stance).  The synthesis is test-input generation local to this
+    entry; canonicalize + the per-host fold are the corpus-scale
+    stages."""
+    from .urls import url_host_stats as _stats
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        # canonical-determining parts derive from k = doc_id % 17 so
+        # distinct docs genuinely collapse onto shared canonical urls
+        # (dup_docs > 0); raw-side noise that canonicalization must
+        # erase (scheme/host case, :80, trailing slash, utm, fragment)
+        # derives from doc_id itself.
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = ids % 17
+        src = np.asarray(b["source"].to_pandas(), dtype=np.str_)
+        h = np.char.add(np.char.add(np.char.add(np.char.add(
+            "www.", src), "-"), (k % 5).astype(np.str_)), ".example.com")
+        hostp = np.where(ids % 3 == 0, np.char.upper(h), h)
+        url = np.where(ids % 2 == 0, "HTTP://", "http://")
+        url = np.char.add(url.astype(np.str_), hostp)
+        url = np.char.add(url, np.where(ids % 5 == 0, ":80", ""))
+        url = np.char.add(url, np.char.add("/p/", (k % 11).astype(np.str_)))
+        url = np.char.add(url, np.where(ids % 4 == 0, "/", ""))
+        q = np.where(
+            k % 6 == 0,
+            np.char.add("?utm_source=feed&ref=", (k % 3).astype(np.str_)),
+            np.where(k % 6 == 3,
+                     np.char.add("?id=", (k % 7).astype(np.str_)), ""))
+        url = np.char.add(url, q.astype(np.str_))
+        url = np.char.add(url, np.where(ids % 9 == 0, "#sec", ""))
+        return pa.table({"url": pa.array(url.tolist(), type=pa.string())})
+
+    return _stats(ds.map_batches(aug, batch_format="pyarrow"))
