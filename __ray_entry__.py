@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regex chain shared verbatim with the oracle) — post-freeze
         # append, SQL-oracled.
         "url_host_stats": P.url_host_stats,
+        # Top-k word bigrams by corpus frequency (collocation /
+        # contamination-screen stats; textstats.ngram_counts) —
+        # post-freeze append, SQL-oracled.
+        "top_ngrams": P.top_ngrams,
     }
 
 
@@ -549,6 +553,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": jaccard_sql,
         "pii_scrub": pii_sql,
         "url_host_stats": url_sql,
+        "top_ngrams": f"""
+            WITH tok AS (SELECT {TOK} AS l FROM documents),
+            w AS (SELECT l, unnest(range(1, len(l))) AS i
+                  FROM tok WHERE len(l) >= 2),
+            grams AS (SELECT l[i] || ' ' || l[i+1] AS gram FROM w)
+            SELECT gram, count(*) AS c FROM grams
+            GROUP BY gram ORDER BY c DESC, gram LIMIT 20""",
         "decontaminate": decon_sql,
         "lm_perplexity": lm_sql,
         "quality_resample": resample_sql,

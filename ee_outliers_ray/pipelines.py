@@ -1598,3 +1598,19 @@ def url_host_stats(sf_dir: str):
         return pa.table({"url": pa.array(url.tolist(), type=pa.string())})
 
     return _stats(ds.map_batches(aug, batch_format="pyarrow"))
+
+
+def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
+    """Top-k word n-grams (bigrams by default) by corpus frequency, ties
+    (count desc, gram asc) — collocation / contamination-screen stats
+    over the documents table (textstats.ngram_counts; windows never
+    cross a doc boundary).  The gram table from the fold arrives sorted
+    ascending, so a stable argsort on -count preserves the gram-asc
+    tie order exactly."""
+    from .textstats import ngram_counts
+
+    ds = read(sf_dir, "documents", columns=["text"])
+    w, c = ngram_counts(ds, n=n)
+    order = np.argsort(-c, kind="stable")[:k]
+    return pd.DataFrame({"gram": w[order].astype(str),
+                         "c": c[order].astype(np.int64)})

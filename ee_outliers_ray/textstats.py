@@ -849,6 +849,84 @@ def word_counts(ds, *, min_count: int = 1, max_vocab_rows: int = 50_000_000,
     return acc_w, acc_c
 
 
+def ngram_counts(ds, *, n: int = 2, min_count: int = 1,
+                 max_vocab_rows: int = 50_000_000, text_col: str = "text"):
+    """Corpus word-n-gram frequency table as (sorted gram string, count)
+    arrays on the driver — the raw material for n-gram LM inspection,
+    contamination screens and collocation stats.  Windows never cross a
+    document boundary.  Same streamed-driver-fold shape and loud
+    ``max_vocab_rows`` guard as ``word_counts`` (the n-gram table must
+    land on the driver anyway for top-k / broadcast; a distributed
+    groupby on model-sized partials measured 6-10x slower, BASELINE.md
+    r5); ``min_count`` prunes the tail."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def parts_fn(b: pa.Table) -> pa.Table:
+        toks = tokenize_column(b[text_col])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        L = len(flat)
+        empty = pa.table({"gram": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if L < n:
+            return empty
+        s = flat.astype(np.str_)
+        g = s[:L - n + 1]
+        for shift in range(1, n):
+            g = np.char.add(np.char.add(g, " "), s[shift:L - n + 1 + shift])
+        # drop windows that cross a doc boundary: boundary b invalidates
+        # starts b-n+1 .. b-1 (n is small -> tiny loop, vectorized body)
+        valid = np.ones(L - n + 1, dtype=bool)
+        bounds = off[1:-1]
+        for shift in range(1, n):
+            inv = bounds - shift
+            inv = inv[(inv >= 0) & (inv < L - n + 1)]
+            valid[inv] = False
+        w, c = np.unique(g[valid], return_counts=True)
+        if not len(w):
+            return empty
+        return pa.table({"gram": pa.array(w, type=pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def _fold(word_parts: list, cnt_parts: list) -> tuple:
+        w = np.concatenate(word_parts)
+        c = np.concatenate(cnt_parts)
+        uw, inv = np.unique(w, return_inverse=True)
+        uc = np.zeros(len(uw), dtype=np.int64)
+        np.add.at(uc, inv, c)
+        return uw, uc
+
+    merge_rows = 4_000_000
+    acc_w = np.zeros(0, dtype=object)
+    acc_c = np.zeros(0, dtype=np.int64)
+    buf_w: list = []
+    buf_c: list = []
+    buffered = 0
+    for bt in ds.map_batches(parts_fn, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        buf_w.append(bt["gram"].to_numpy(zero_copy_only=False))
+        buf_c.append(bt["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+        buffered += bt.num_rows
+        if buffered >= merge_rows:
+            acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
+            buf_w, buf_c, buffered = [], [], 0
+            if len(acc_w) > max_vocab_rows:
+                raise ValueError(
+                    f"n-gram table exceeds max_vocab_rows={max_vocab_rows} "
+                    "mid-stream; raise min_count or max_vocab_rows")
+    if buf_w:
+        acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
+    if min_count > 1:
+        keep = acc_c >= min_count
+        acc_w, acc_c = acc_w[keep], acc_c[keep]
+    if len(acc_w) > max_vocab_rows:
+        raise ValueError(
+            f"n-gram table has {len(acc_w)} rows > max_vocab_rows="
+            f"{max_vocab_rows}; raise min_count or max_vocab_rows")
+    return acc_w, acc_c
+
+
 def bpe_train(ds, *, num_merges: int = 30, min_count: int = 1,
               text_col: str = "text"):
     """BPE tokenizer training (Sennrich et al. 2016): learn the top
