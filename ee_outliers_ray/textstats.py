@@ -849,8 +849,69 @@ def word_counts(ds, *, min_count: int = 1, max_vocab_rows: int = 50_000_000,
     return acc_w, acc_c
 
 
+def _gram_partial(toks, n: int, use_int_keys: bool | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch unique (gram string, count) over within-doc n-gram
+    windows of a tokenized ListArray.
+
+    Two pinned-equal paths (tests/test_ngrams.py runs both on the same
+    batches): the INT-KEY fast path dictionary-encodes the tokens and
+    uniques base-|dict| composite int64 keys, materializing gram
+    strings only for the block-UNIQUE windows (measured 3-4x over the
+    string path at 2M docs — np.unique over fixed-width strings was the
+    hot loop, BASELINE.md r5); the STRING path builds every window's
+    string and is the fallback when |dict|**n would overflow the int64
+    key space.  ``use_int_keys=None`` auto-selects."""
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    L = len(flat)
+    if L < n:
+        return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+    # window start validity: boundary b invalidates starts b-n+1 .. b-1
+    # (n is small -> tiny loop, vectorized body)
+    valid = np.ones(L - n + 1, dtype=bool)
+    bounds = off[1:-1]
+    for shift in range(1, n):
+        inv = bounds - shift
+        inv = inv[(inv >= 0) & (inv < L - n + 1)]
+        valid[inv] = False
+    enc = flat.dictionary_encode()
+    nt = max(len(enc.dictionary), 1)
+    if use_int_keys is None:
+        use_int_keys = float(nt) ** n <= 2.0 ** 62
+    if use_int_keys:
+        ids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ids[:L - n + 1].copy()
+        for shift in range(1, n):
+            key *= nt
+            key += ids[shift:L - n + 1 + shift]
+        uk, c = np.unique(key[valid], return_counts=True)
+        if not len(uk):
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False).astype(np.str_)
+        pos = []
+        rem = uk
+        for _ in range(n):
+            pos.append(rem % nt)
+            rem = rem // nt
+        g = dic[pos[-1]]
+        for p in pos[-2::-1]:
+            g = np.char.add(np.char.add(g, " "), dic[p])
+        # composite keys sort positionally, not lexicographically ->
+        # re-sort by gram string so both paths return the same order
+        order = np.argsort(g, kind="stable")
+        return g[order].astype(object), c[order].astype(np.int64)
+    s = flat.to_numpy(zero_copy_only=False).astype(np.str_)
+    g = s[:L - n + 1]
+    for shift in range(1, n):
+        g = np.char.add(np.char.add(g, " "), s[shift:L - n + 1 + shift])
+    w, c = np.unique(g[valid], return_counts=True)
+    return w.astype(object), c.astype(np.int64)
+
+
 def ngram_counts(ds, *, n: int = 2, min_count: int = 1,
-                 max_vocab_rows: int = 50_000_000, text_col: str = "text"):
+                 max_vocab_rows: int = 50_000_000, text_col: str = "text",
+                 parts_batch_rows: int = 65536):
     """Corpus word-n-gram frequency table as (sorted gram string, count)
     arrays on the driver — the raw material for n-gram LM inspection,
     contamination screens and collocation stats.  Windows never cross a
@@ -858,73 +919,65 @@ def ngram_counts(ds, *, n: int = 2, min_count: int = 1,
     ``max_vocab_rows`` guard as ``word_counts`` (the n-gram table must
     land on the driver anyway for top-k / broadcast; a distributed
     groupby on model-sized partials measured 6-10x slower, BASELINE.md
-    r5); ``min_count`` prunes the tail."""
+    r5); ``min_count`` prunes the tail.  Per-batch uniquing takes the
+    int-key fast path of ``_gram_partial``; the fold itself is a pandas
+    HASH groupby (no per-fold string sort — measured 11.2 s -> 7.4 s on
+    the 13M-partial-row 2M-doc bench, identical table) with one final
+    code-point sort so the return order matches ``word_counts``.
+
+    ``parts_batch_rows`` sizes the partial-uniquing tasks LARGE on
+    purpose: per-batch dedup saturates with batch size (4096-doc
+    batches shipped 13.0M partial rows at 2M docs; 131072-doc batches
+    4.4M), and the driver fold runs interleaved with the stream — every
+    shipped row stalls the executor loop it shares (BASELINE.md r5
+    datum: the fold backpressure, not the map, dominated the first
+    version's wall)."""
+    import pandas as pd
+
     if n < 1:
         raise ValueError("n must be >= 1")
 
     def parts_fn(b: pa.Table) -> pa.Table:
-        toks = tokenize_column(b[text_col])
-        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        L = len(flat)
-        empty = pa.table({"gram": pa.array([], type=pa.string()),
-                          "c": pa.array([], type=pa.int64())})
-        if L < n:
-            return empty
-        s = flat.astype(np.str_)
-        g = s[:L - n + 1]
-        for shift in range(1, n):
-            g = np.char.add(np.char.add(g, " "), s[shift:L - n + 1 + shift])
-        # drop windows that cross a doc boundary: boundary b invalidates
-        # starts b-n+1 .. b-1 (n is small -> tiny loop, vectorized body)
-        valid = np.ones(L - n + 1, dtype=bool)
-        bounds = off[1:-1]
-        for shift in range(1, n):
-            inv = bounds - shift
-            inv = inv[(inv >= 0) & (inv < L - n + 1)]
-            valid[inv] = False
-        w, c = np.unique(g[valid], return_counts=True)
+        w, c = _gram_partial(tokenize_column(b[text_col]), n)
         if not len(w):
-            return empty
+            return pa.table({"gram": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
         return pa.table({"gram": pa.array(w, type=pa.string()),
-                         "c": pa.array(c.astype(np.int64))})
-
-    def _fold(word_parts: list, cnt_parts: list) -> tuple:
-        w = np.concatenate(word_parts)
-        c = np.concatenate(cnt_parts)
-        uw, inv = np.unique(w, return_inverse=True)
-        uc = np.zeros(len(uw), dtype=np.int64)
-        np.add.at(uc, inv, c)
-        return uw, uc
+                         "c": pa.array(c)})
 
     merge_rows = 4_000_000
-    acc_w = np.zeros(0, dtype=object)
-    acc_c = np.zeros(0, dtype=np.int64)
-    buf_w: list = []
-    buf_c: list = []
+    acc = pd.DataFrame({"gram": pd.Series(dtype=object),
+                        "c": pd.Series(dtype=np.int64)})
+    buf: list = []
     buffered = 0
-    for bt in ds.map_batches(parts_fn, batch_format="pyarrow") \
+
+    def _fold() -> None:
+        nonlocal acc, buf, buffered
+        acc = pd.concat([acc] + buf, ignore_index=True) \
+            .groupby("gram", sort=False, as_index=False)["c"].sum()
+        buf, buffered = [], 0
+        if len(acc) > max_vocab_rows:
+            raise ValueError(
+                f"n-gram table exceeds max_vocab_rows={max_vocab_rows} "
+                "mid-stream; raise min_count or max_vocab_rows")
+
+    for bt in ds.map_batches(parts_fn, batch_format="pyarrow",
+                             batch_size=parts_batch_rows) \
             .iter_batches(batch_format="pyarrow"):
-        buf_w.append(bt["gram"].to_numpy(zero_copy_only=False))
-        buf_c.append(bt["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+        buf.append(bt.to_pandas())
         buffered += bt.num_rows
         if buffered >= merge_rows:
-            acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
-            buf_w, buf_c, buffered = [], [], 0
-            if len(acc_w) > max_vocab_rows:
-                raise ValueError(
-                    f"n-gram table exceeds max_vocab_rows={max_vocab_rows} "
-                    "mid-stream; raise min_count or max_vocab_rows")
-    if buf_w:
-        acc_w, acc_c = _fold([acc_w] + buf_w, [acc_c] + buf_c)
+            _fold()
+    if buf or buffered == 0:
+        _fold()
     if min_count > 1:
-        keep = acc_c >= min_count
-        acc_w, acc_c = acc_w[keep], acc_c[keep]
-    if len(acc_w) > max_vocab_rows:
+        acc = acc[acc["c"] >= min_count]
+    if len(acc) > max_vocab_rows:
         raise ValueError(
-            f"n-gram table has {len(acc_w)} rows > max_vocab_rows="
+            f"n-gram table has {len(acc)} rows > max_vocab_rows="
             f"{max_vocab_rows}; raise min_count or max_vocab_rows")
-    return acc_w, acc_c
+    acc = acc.sort_values("gram", kind="stable")
+    return (acc["gram"].to_numpy(), acc["c"].to_numpy().astype(np.int64))
 
 
 def bpe_train(ds, *, num_merges: int = 30, min_count: int = 1,
