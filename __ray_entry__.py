@@ -104,7 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
     decontaminate, lm_perplexity, quality_resample, source_mix,
-    stratified_sample, chunk_docs — all NEW operators, all SQL-oracled
+    stratified_sample, chunk_docs, search_or, url_host_stats,
+    top_ngrams — all NEW operators, all SQL-oracled
     — plus bpe_train, iterative so rows-only) are APPENDED at the very
     tail rather than inserted in the text-analysis group: the window is
     exactly 50 entries, so an in-group insert would push media_features
