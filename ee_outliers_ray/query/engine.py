@@ -125,6 +125,40 @@ class TaatSearcher:
         self._results[ckey] = out
         return list(out)
 
+    def min_match_topk(self, terms, min_match: int, k: int = 10
+                       ) -> list[tuple[int, int, float]]:
+        """minimum_should_match BM25 through the searcher's per-term
+        weight cache (the serving path: repeat clauses never re-decode
+        postings).  Identical results to ``engine.min_match_topk`` by
+        the shared union kernel, pinned by pytest; in sharded use the
+        injected global stats flow through ``_term_vec`` exactly as for
+        plain TAAT.  Returns (doc_id, n_matched, score) tuples."""
+        min_match = max(int(min_match), 1)
+        tkey = tuple(sorted(set(terms)))
+        ckey = ("mm", tkey, min_match, k)
+        if self.result_cache_size > 0:
+            hit = self._results.get(ckey)
+            if hit is not None:
+                return list(hit)
+        vecs = []
+        for t in tkey:                    # ascending-term sum order
+            vec = self._term_vec(t)
+            if vec is not None and len(vec[0]):
+                vecs.append(vec)
+        if not hasattr(self, "_mm_cnt"):
+            # lazy: only min_match serving pays for the count array;
+            # _acc is shared with plain topk (both reset after use)
+            self._mm_cnt = np.zeros(len(self._acc), dtype=np.int16)
+        d, nm, s = _min_match_from_vecs(
+            vecs, min_match, k, n_docs=len(self._acc),
+            workspace=(self._acc, self._mm_cnt))
+        out = list(zip(d.tolist(), nm.tolist(), s.tolist()))
+        if self.result_cache_size > 0:
+            if len(self._results) >= self.result_cache_size:
+                self._results.clear()
+            self._results[ckey] = out
+        return list(out)
+
     def _topk_uncached(self, terms: list[str], k: int
                        ) -> list[tuple[int, float]]:
         acc = self._acc
@@ -545,11 +579,8 @@ def min_match_topk(reader: IndexReader, terms, min_match: int, k: int = 10
 
     Returns (doc_ids, n_matched, scores), scores unrounded.
     """
-    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
-             np.zeros(0, dtype=np.float64))
     min_match = max(int(min_match), 1)
-    ids_parts: list[np.ndarray] = []
-    w_parts: list[np.ndarray] = []
+    vecs = []
     for t in sorted(set(terms)):          # ascending-term sum order
         dec = reader.postings_decoded(t)
         if dec is None or not len(dec[0]):
@@ -557,15 +588,61 @@ def min_match_topk(reader: IndexReader, terms, min_match: int, k: int = 10
         doc_ids, tfs = dec
         w = term_weight(tfs, reader.doclens[doc_ids],
                         idf(reader.n_docs, len(doc_ids)), reader.avgdl)
-        ids_parts.append(doc_ids)
-        w_parts.append(w)
-    if len(ids_parts) < min_match:        # absent terms cannot match
+        vecs.append((doc_ids, w))
+    return _min_match_from_vecs(vecs, min_match, k,
+                                n_docs=len(reader.doclens))
+
+
+def _min_match_from_vecs(vecs, min_match: int, k: int, *,
+                         n_docs: int | None = None, workspace=None
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared union kernel for both min_match paths (standalone reader
+    and TaatSearcher cached-weight serving): ``vecs`` is the ascending-
+    term list of (sorted doc_ids, BM25 weights).
+
+    Dense/sparse split mirrors ``TaatSearcher._topk_uncached``: rare-
+    term queries take the sorted-union path; hot-term queries (postings
+    a meaningful fraction of the corpus) scatter into dense score +
+    int16 match-count accumulators — the np.unique over a multi-
+    million-id union was the measured hot loop (5.1 -> ~9 QPS on the 2M
+    4-hot-term bench).  Per-doc float64 accumulation stays term-
+    ascending in BOTH paths, so results are bit-identical (pytest pins
+    the paths against each other).  ``workspace`` is an optional
+    (acc, cnt) pair of corpus-length arrays to reuse (zeroed on entry
+    and re-zeroed before return); when absent and the dense gate fires,
+    temporaries are allocated."""
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+             np.zeros(0, dtype=np.float64))
+    if len(vecs) < min_match:             # absent terms cannot match
         return empty
-    uniq, inv = np.unique(np.concatenate(ids_parts), return_inverse=True)
+    total = sum(len(v[0]) for v in vecs)
+    dense = n_docs is not None and total * 16 >= n_docs
+    if dense:
+        if workspace is not None:
+            acc, cnt = workspace
+        else:
+            acc = np.zeros(n_docs, dtype=np.float64)
+            cnt = np.zeros(n_docs, dtype=np.int16)
+        for ids, w in vecs:               # ascending-term order
+            acc[ids] += w
+            cnt[ids] += 1
+        cand = np.flatnonzero(cnt)
+        keep = cand[cnt[cand] >= min_match]
+        if not len(keep):
+            acc[cand] = 0.0
+            cnt[cand] = 0
+            return empty
+        d, s = topk_from_scores(keep, acc[keep], k)
+        nm = cnt[d].astype(np.int64)
+        acc[cand] = 0.0
+        cnt[cand] = 0
+        return d.astype(np.int64), nm, s
+    uniq, inv = np.unique(np.concatenate([v[0] for v in vecs]),
+                          return_inverse=True)
     counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
     scores = np.zeros(len(uniq), dtype=np.float64)
     off = 0
-    for ids, w in zip(ids_parts, w_parts):
+    for ids, w in vecs:
         # one doc appears at most once per term -> no duplicate index
         # within a slice; slice-by-slice += preserves ascending-term
         # per-doc accumulation order exactly

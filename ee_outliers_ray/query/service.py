@@ -37,6 +37,23 @@ class QueryActor:
     def topk_batch(self, queries: list[str], k: int = 10) -> list:
         return [self.engine.topk(q, k) for q in queries]
 
+    def min_match_batch(self, requests: list, k: int = 10) -> list:
+        """Serve minimum_should_match OR queries: ``requests`` is a list
+        of (terms, min_match).  TAAT mode goes through the searcher's
+        per-term weight cache; bmp/wand actors fall back to the
+        standalone reader path (identical results by the shared union
+        kernel)."""
+        from .engine import min_match_topk as _mm
+
+        out = []
+        for terms, m in requests:
+            if hasattr(self.engine, "min_match_topk"):
+                out.append(self.engine.min_match_topk(terms, m, k))
+            else:
+                d, nm, s = _mm(self.reader, terms, m, k)
+                out.append(list(zip(d.tolist(), nm.tolist(), s.tolist())))
+        return out
+
 
 def query_pool(index_dir: str, n_actors: int, mode: str = "taat",
                result_cache: bool = True) -> list:

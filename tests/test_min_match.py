@@ -101,6 +101,53 @@ def test_min_match_full_and_equals_intersection(index_dir):
     assert (nm == len(terms)).all()
 
 
+def test_min_match_searcher_equals_standalone(index_dir):
+    """TaatSearcher.min_match_topk (cached-weight serving path) must be
+    identical to the standalone reader function — cold, warm (weight
+    cache hit), and result-cache repeat."""
+    from ee_outliers_ray.query.engine import TaatSearcher
+
+    reader = IndexReader(index_dir)
+    searcher = TaatSearcher(reader)
+    for terms, m in [(TERMS4, 1), (TERMS4, 2), (TERMS4, 4),
+                     (("the", "data"), 2), (("zzz",), 1)]:
+        d, nm, s = min_match_topk(reader, terms, m, k=12)
+        want = list(zip(d.tolist(), nm.tolist(), s.tolist()))
+        assert searcher.min_match_topk(terms, m, k=12) == want   # cold
+        assert searcher.min_match_topk(terms, m, k=12) == want   # cached
+    # plain topk through the same searcher stays unaffected by the
+    # min_match cache entries
+    assert searcher.topk("the data", k=5) == \
+        TaatSearcher(reader).topk("the data", k=5)
+
+
+@pytest.mark.parametrize("terms,m", [(TERMS4, 1), (TERMS4, 2),
+                                     (TERMS4, 4), (("the", "data"), 2)])
+def test_min_match_dense_equals_sparse(index_dir, terms, m):
+    """The dense accumulator path and the sorted-union path of the
+    shared kernel must be bit-identical — both forced explicitly on the
+    same weight vectors."""
+    from ee_outliers_ray.query.bm25 import idf, term_weight
+    from ee_outliers_ray.query.engine import _min_match_from_vecs
+
+    reader = IndexReader(index_dir)
+    vecs = []
+    for t in sorted(set(terms)):
+        dec = reader.postings_decoded(t)
+        if dec is None or not len(dec[0]):
+            continue
+        ids, tfs = dec
+        vecs.append((ids, term_weight(tfs, reader.doclens[ids],
+                                      idf(reader.n_docs, len(ids)),
+                                      reader.avgdl)))
+    sparse = _min_match_from_vecs(vecs, m, 15, n_docs=None)
+    dense = _min_match_from_vecs(vecs, m, 15,
+                                 n_docs=len(reader.doclens))
+    assert sum(len(v[0]) for v in vecs) * 16 >= len(reader.doclens)
+    for a, b in zip(sparse, dense):
+        assert a.tolist() == b.tolist()
+
+
 def test_min_match_absent_terms(index_dir, docs):
     reader = IndexReader(index_dir)
     # an absent clause can never count toward the floor
