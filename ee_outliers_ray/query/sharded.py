@@ -73,6 +73,11 @@ class ShardActor:
         self.searcher.add_dfs(dfs)
         return self.searcher.topk(query, k)
 
+    def min_match(self, terms: tuple, m: int, k: int,
+                  dfs: dict[str, int]) -> list:
+        self.searcher.add_dfs(dfs)
+        return self.searcher.min_match_topk(terms, m, k)
+
 
 class ShardedQueryService:
     def __init__(self, shard_dirs: list[str]):
@@ -103,6 +108,23 @@ class ShardedQueryService:
             [a.topk.remote(query, k, dfs) for a in self.actors])
         merged = [x for r in shard_results for x in r]
         merged.sort(key=lambda ds_: (-ds_[1], ds_[0]))
+        return merged[:k]
+
+    def min_match_topk(self, terms, min_match: int, k: int = 10
+                       ) -> list[tuple[int, int, float]]:
+        """Sharded minimum_should_match: docs are shard-disjoint, so
+        per-shard match counts are complete per doc and per-shard
+        top-k lists (scored with the injected GLOBAL stats) merge into
+        the exact global top-k — identical to the single-index
+        ``TaatSearcher.min_match_topk`` (pytest-pinned).  Ties
+        (score desc, doc_id asc)."""
+        tkey = tuple(sorted(set(terms)))
+        dfs = self._global_dfs(list(tkey))
+        shard_results = ray.get(
+            [a.min_match.remote(tkey, min_match, k, dfs)
+             for a in self.actors])
+        merged = [x for r in shard_results for x in r]
+        merged.sort(key=lambda r: (-r[2], r[0]))
         return merged[:k]
 
     def topk_many(self, queries: list[str], k: int = 10

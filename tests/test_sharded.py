@@ -75,3 +75,22 @@ def test_query_pool_modes_identical(setup):
             assert got == want, mode
         for a in pool:
             ray.kill(a)
+
+
+def test_sharded_min_match_identical_to_single(setup):
+    """Sharded minimum_should_match == single-index min_match_topk:
+    shard-disjoint docs + injected global stats -> exact merge."""
+    from ee_outliers_ray.query.engine import min_match_topk
+
+    single, dirs = setup
+    reader = IndexReader(single)
+    svc = ShardedQueryService(dirs)
+    cases = [(("the", "data", "crawl", "w0042"), 1),
+             (("the", "data", "crawl", "w0042"), 2),
+             (("the", "data", "crawl", "w0042"), 4),
+             (("the", "data"), 2),
+             (("absent_term", "the"), 2)]
+    for terms, m in cases:
+        d, nm, s = min_match_topk(reader, terms, m, k=10)
+        want = list(zip(d.tolist(), nm.tolist(), s.tolist()))
+        assert svc.min_match_topk(terms, m, k=10) == want, (terms, m)
