@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Post-freeze additions (repetition_scores, gopher_filter, pii_scrub,
     decontaminate, lm_perplexity, quality_resample, source_mix,
     stratified_sample, chunk_docs, search_or, url_host_stats,
-    top_ngrams — all NEW operators, all SQL-oracled
+    top_ngrams, more_like_this — all NEW operators, all SQL-oracled
     — plus bpe_train, iterative so rows-only) are APPENDED at the very
     tail rather than inserted in the text-analysis group: the window is
     exactly 50 entries, so an in-group insert would push media_features
@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contamination-screen stats; textstats.ngram_counts) —
         # post-freeze append, SQL-oracled.
         "top_ngrams": P.top_ngrams,
+        # ES more_like_this re-owned: source doc's top tf-idf terms ->
+        # BM25 minimum_should_match OR query, source excluded —
+        # post-freeze append, SQL-oracled.
+        "more_like_this": P.more_like_this,
     }
 
 
@@ -324,6 +328,50 @@ scores AS (
 )
 SELECT doc_id, n_matched, round(s, 6) AS score
 FROM scores ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+def _mlt_sql(doc_id: int = 7, max_terms: int = 5, m: int = 2,
+             k: int = 10) -> str:
+    """more_like_this truth in SQL: the source doc's top tf-idf terms
+    (6-dp-rounded BEFORE ranking, ties term-asc — mirrored by the
+    pipeline) feed the BM25 minimum_should_match query, source doc
+    excluded."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+src AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+        WHERE doc_id = {doc_id} GROUP BY term),
+srcdf AS (SELECT t.term, count(DISTINCT t.doc_id)::DOUBLE AS df
+          FROM tok t WHERE t.term IN (SELECT term FROM src)
+          GROUP BY t.term),
+sel AS (SELECT s.term,
+               round(s.tf * ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)),
+                     6) AS tfidf
+        FROM src s JOIN srcdf d USING (term) CROSS JOIN consts c
+        ORDER BY tfidf DESC, s.term LIMIT {max_terms}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id, count(*) AS n_matched,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / c.avgdl)) ) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts c
+  GROUP BY tf.doc_id
+  HAVING count(*) >= {m}
+)
+SELECT doc_id, n_matched, round(s, 6) AS score
+FROM scores WHERE doc_id <> {doc_id} ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
@@ -603,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "search_and":
             f"SELECT doc_id FROM documents WHERE {search_preds}",
         "search_or": _min_match_sql(),
+        "more_like_this": _mlt_sql(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

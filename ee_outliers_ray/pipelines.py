@@ -1614,3 +1614,55 @@ def top_ngrams(sf_dir: str, n: int = 2, k: int = 20):
     order = np.argsort(-c, kind="stable")[:k]
     return pd.DataFrame({"gram": w[order].astype(str),
                          "c": c[order].astype(np.int64)})
+
+
+def more_like_this(sf_dir: str, doc_id: int = 7, max_terms: int = 5,
+                   min_match: int = 2, k: int = 10):
+    """Elasticsearch ``more_like_this`` re-owned (the reference reaches
+    MLT-style relevance through es_query pass-through,
+    /root/reference/app/helpers/es.py:238-250): take the source doc's
+    top tf-idf terms (stored-field tokenize + index-metadata df — the
+    same two inputs ES MLT uses), then run a BM25 minimum_should_match
+    OR query over them, excluding the source doc.
+
+    Determinism: per-term tf-idf is duck-rounded to 6 dp BEFORE ranking
+    on BOTH engines, ties (tfidf desc, term asc); the query itself is
+    engine.min_match_topk (top-(k+1) then drop the source then take k ==
+    filter-then-top-k, since dropping one row keeps the filtered top-k
+    inside the unfiltered top-(k+1)).
+
+    Driver-only access pattern: the source row comes from a parquet
+    row-filter read (stored fields), postings/df from the index reader
+    — no corpus scan, no Ray stage; at scale this is one serving-path
+    request, exactly like bm25_topk."""
+    import pyarrow.parquet as pq
+
+    from .query.engine import min_match_topk
+    from .query.reader import IndexReader
+    from .tokenizer import tokenize
+
+    reader = IndexReader(documents_index(sf_dir))
+    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"],
+                      filters=[("doc_id", "==", doc_id)])
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "n_matched": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if t.num_rows == 0:
+        return empty
+    toks = tokenize(t["text"][0].as_py())
+    if not toks:
+        return empty
+    terms, tfs = np.unique(np.asarray(toks, dtype=np.str_),
+                           return_counts=True)
+    dfs = np.array([reader.df(str(x)) for x in terms], dtype=np.float64)
+    idfv = np.log(1.0 + (reader.n_docs - dfs + 0.5) / (dfs + 0.5))
+    tfidf = duck_round(tfs.astype(np.float64) * idfv, ROUND_SCORE)
+    order = np.lexsort((terms, -tfidf))[:max_terms]
+    sel = tuple(sorted(terms[order].tolist()))
+    d, nm, s = min_match_topk(reader, sel, min_match, k=k + 1)
+    keep = d != doc_id
+    return pd.DataFrame({
+        "doc_id": d[keep][:k],
+        "n_matched": nm[keep][:k],
+        "score": duck_round(s[keep][:k], ROUND_SCORE),
+    })

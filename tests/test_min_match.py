@@ -163,3 +163,24 @@ def test_min_match_absent_terms(index_dir, docs):
     d0, _, _ = min_match_topk(reader, ("w0042",), 0, k=10**9)
     dflr, _, _ = min_match_topk(reader, ("w0042",), 1, k=10**9)
     assert d0.tolist() == dflr.tolist()
+
+
+def test_more_like_this_edges(ray_session):
+    """Absent source doc -> schema-stable empty; present source is never
+    in its own result; every hit matches >= min_match of the selected
+    terms.  (Value correctness is driver-checked by the SQL oracle in
+    test_oracle_parity.)"""
+    import numpy as np
+
+    from ee_outliers_ray.pipelines import more_like_this
+
+    sf = "/root/testdata/sf0.001"
+    out = more_like_this(sf, doc_id=10**9)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_matched", "score"]
+    assert out["doc_id"].dtype == np.int64
+    assert out["score"].dtype == np.float64
+    res = more_like_this(sf, doc_id=7, min_match=2, k=10)
+    assert len(res) > 0
+    assert (res["doc_id"] != 7).all()
+    assert (res["n_matched"] >= 2).all()
