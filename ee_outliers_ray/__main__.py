@@ -242,6 +242,10 @@ def main(argv=None) -> int:
     ix.add_argument("--query", help="query string (query)")
     ix.add_argument("-k", type=int, default=10)
     ix.add_argument("--engine", choices=["wand", "taat"], default="wand")
+    ix.add_argument("--min-match", type=int, default=None,
+                    help="minimum_should_match OR query over the query's "
+                         "terms (ignores --engine; results include "
+                         "n_matched)")
     args = p.parse_args(argv)
     if args.mode == "tests":
         import pytest
@@ -316,15 +320,28 @@ def _index_cli(args) -> int:
 
             out = compact_index(args.index)
         else:  # query
-            from .query.engine import BlockMaxWand, taat_topk
+            from .query.engine import BlockMaxWand, min_match_topk, taat_topk
             from .query.reader import IndexReader
+            from .tokenizer import tokenize
 
             reader = IndexReader(args.index)
-            res = (BlockMaxWand(reader).topk(args.query, args.k)
-                   if args.engine == "wand"
-                   else taat_topk(reader, args.query, args.k))
-            out = {"query": args.query, "k": args.k, "engine": args.engine,
-                   "results": [{"doc_id": d, "score": s} for d, s in res]}
+            if args.min_match is not None:
+                d, nm, s = min_match_topk(
+                    reader, tuple(sorted(set(tokenize(args.query)))),
+                    args.min_match, args.k)
+                out = {"query": args.query, "k": args.k,
+                       "engine": "min_match", "min_match": args.min_match,
+                       "results": [{"doc_id": int(di), "n_matched": int(m),
+                                    "score": float(si)}
+                                   for di, m, si in zip(d, nm, s)]}
+            else:
+                res = (BlockMaxWand(reader).topk(args.query, args.k)
+                       if args.engine == "wand"
+                       else taat_topk(reader, args.query, args.k))
+                out = {"query": args.query, "k": args.k,
+                       "engine": args.engine,
+                       "results": [{"doc_id": d, "score": s}
+                                   for d, s in res]}
         print(json.dumps(out))
         return 0
     finally:
