@@ -106,7 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     decontaminate, lm_perplexity, quality_resample, source_mix,
     stratified_sample, chunk_docs, search_or, url_host_stats,
     top_ngrams, more_like_this — all NEW operators, all SQL-oracled
-    — plus bpe_train, iterative so rows-only) are APPENDED at the very
+    — plus bpe_train (iterative) and ann_pq (lossy quantization),
+    rows-only) are APPENDED at the very
     tail rather than inserted in the text-analysis group: the window is
     exactly 50 entries, so an in-group insert would push media_features
     (changed this round) out of external checking.  New code that
@@ -252,6 +253,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 minimum_should_match OR query, source excluded —
         # post-freeze append, SQL-oracled.
         "more_like_this": P.more_like_this,
+        # Product-quantization ANN recall table (similarity.PqIndex:
+        # m-byte codes, ADC scan — the 10^12-vector memory-reduction
+        # path).  Deterministic; rows-only (quantization is lossy by
+        # construction, no exactness gate exists); recall floor
+        # pytest-gated — post-freeze append.
+        "ann_pq": P.ann_pq,
     }
 
 
